@@ -1,0 +1,195 @@
+"""Core NN primitives: inits, convs (channels-last), norms, embeddings.
+
+Numerical semantics deliberately match the reference's torch modules so the
+two frameworks produce comparable statistics:
+
+* default torch Conv/Linear init (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+  for both weight and bias),
+* `InstanceNorm2d` (no running stats) with the reference's eps choices
+  (`src/encoding/networks.py:133` eps=1e-5 unaffine;
+   `src/encoding/blocks.py:219-221` eps=1e-6 affine),
+* `GroupNorm32` — GroupNorm(32, C) computed in float32 regardless of input
+  dtype (`src/diffusion/nn.py:17-19, 93-100`),
+* sinusoidal timestep embedding, cos-first (`src/diffusion/nn.py:103-121`).
+
+All convs are channels-last (NHWC / NDHWC) — the layout XLA:TPU tiles onto
+the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch default parity)
+# ---------------------------------------------------------------------------
+
+def torch_conv_init(key, kshape: Sequence[int], with_bias: bool = True):
+    """Default torch Conv init. kshape is HWIO (or DHWIO): spatial..., in, out.
+
+    fan_in = in_channels * prod(kernel_spatial); weight, bias ~ U(+-1/sqrt(fan_in)).
+    """
+    *spatial, cin, cout = kshape
+    fan_in = cin * int(math.prod(spatial)) if spatial else cin
+    bound = 1.0 / math.sqrt(fan_in)
+    wk, bk = jax.random.split(key)
+    w = jax.random.uniform(wk, tuple(kshape), jnp.float32, -bound, bound)
+    if not with_bias:
+        return {"w": w}
+    b = jax.random.uniform(bk, (cout,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def torch_linear_init(key, cin: int, cout: int):
+    """Default torch Linear init: U(+-1/sqrt(cin)) for weight and bias.
+
+    Weight stored as [cin, cout] (input-major) for y = x @ w + b.
+    """
+    bound = 1.0 / math.sqrt(cin)
+    wk, bk = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(wk, (cin, cout), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(bk, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def zero_conv_init(kshape: Sequence[int]):
+    """Zero-initialised conv (reference `zero_module`, `src/diffusion/nn.py:68`)."""
+    *spatial, cin, cout = kshape
+    return {"w": jnp.zeros(tuple(kshape), jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Ops
+# ---------------------------------------------------------------------------
+
+def linear(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def conv2d(p, x, stride: int = 1, padding="SAME"):
+    """NHWC conv. p['w'] is HWIO."""
+    y = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def conv3d(p, x, stride: int = 2, padding=((1, 1), (1, 1), (1, 1))):
+    """NDHWC conv. p['w'] is DHWIO. Default is the reference encoder's
+    k4/s2/p1 configuration (`src/encoding/networks.py:129-131`)."""
+    y = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride, stride), padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def instance_norm(x, eps: float = 1e-5, gamma=None, beta=None):
+    """InstanceNorm over spatial dims of channels-last [..., H, W, C].
+
+    Matches torch nn.InstanceNorm2d(track_running_stats=False): per-sample,
+    per-channel normalization using biased variance.
+    """
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma.astype(y.dtype) + beta.astype(y.dtype)
+    return y
+
+
+def group_norm32(p, x, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm(32, C) with float32 compute (`src/diffusion/nn.py:17-19`).
+
+    x: [..., H, W, C]; p has 'g' (gamma) and 'b' (beta) of shape [C].
+    """
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    *lead, H, W, C = x32.shape
+    g = num_groups
+    if C % g != 0:
+        raise ValueError(
+            f"GroupNorm32 needs channels divisible by {g}, got {C} "
+            "(model_channels and channel multiples must be multiples of 32)")
+    xg = x32.reshape(*lead, H, W, g, C // g)
+    mean = jnp.mean(xg, axis=(-4, -3, -1), keepdims=True)
+    var = jnp.var(xg, axis=(-4, -3, -1), keepdims=True)
+    xg = (xg - mean) * lax.rsqrt(var + eps)
+    y = xg.reshape(*lead, H, W, C)
+    y = y * p["g"] + p["b"]
+    return y.astype(dt)
+
+
+def group_norm_init(channels: int):
+    return {"g": jnp.ones((channels,), jnp.float32),
+            "b": jnp.zeros((channels,), jnp.float32)}
+
+
+def avg_pool2x(x):
+    """2x average pool, NHWC (`unet_triplane.py:137-139`)."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") * 0.25
+
+
+def upsample2x_bilinear(x):
+    """2x bilinear upsample, align_corners=False (`unet_triplane.py:116-118`)."""
+    *lead, H, W, C = x.shape
+    return resize_bilinear(x, (H * 2, W * 2))
+
+
+def resize_bilinear(x, out_hw: Tuple[int, int]):
+    """Bilinear resize on [..., H, W, C] matching torch F.interpolate
+    (mode='bilinear', align_corners=False): jax.image 'linear' resize uses
+    the same half-pixel convention."""
+    *lead, H, W, C = x.shape
+    out_shape = (*lead, out_hw[0], out_hw[1], C)
+    # antialias=False: torch F.interpolate never antialiases by default,
+    # and the fix-up path can downscale (`unet_triplane.py:494-499`).
+    return jax.image.resize(x, out_shape, method="linear", antialias=False)
+
+
+def resize_trilinear(x, out_dhw: Tuple[int, int, int]):
+    """Trilinear resize on [..., D, H, W, C] (torch F.interpolate
+    mode='trilinear', align_corners=False parity)."""
+    *lead, D, H, W, C = x.shape
+    out_shape = (*lead, out_dhw[0], out_dhw[1], out_dhw[2], C)
+    return jax.image.resize(x, out_shape, method="linear", antialias=False)
+
+
+def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0):
+    """Sinusoidal embeddings, cos-first (`src/diffusion/nn.py:103-121`).
+
+    timesteps: [N] (possibly fractional). Returns [N, dim] float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def mean_flat(x):
+    """Mean over all non-batch dims (`src/diffusion/nn.py:86`)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))

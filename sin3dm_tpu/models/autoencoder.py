@@ -1,0 +1,286 @@
+"""Triplane shape autoencoder — functional JAX re-design of the reference
+`AutoEncoderGroupSkip` / `AutoEncoderGroupV3` / `AutoEncoderGroupPBR`
+(`/root/reference/src/encoding/networks.py:21-334`).
+
+Pipeline (identical semantics, channels-last layout):
+
+* encode: two strided Conv3d (k4/s2/p1) over the dense SDF(+tex) volume —
+  geometry branch sees only the SDF channel, texture branch sees all
+  channels (`networks.py:129-131, 164-180`); axis-mean collapses the
+  volume to three planes; a SHARED unaffine InstanceNorm then `tanh(x*0.5)`
+  squashes each plane,
+* decode: per-branch TriplaneGroupResnetBlock (3 independent ks-5 convs —
+  the reference's grouped conv over zero-padded packed planes is exactly
+  per-plane convolution, see `blocks.py:164-186, 189-256`), bilinear plane
+  gathers summed over the 3 planes, then skip-concat MLP heads
+  (`blocks.py:65-91`): geo -> 1 sdf, tex -> sigmoid * tex_channels
+  (PBR: rgb/mr/normal heads, no sigmoid, `networks.py:321-326`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn
+from ..core.gridsample import sample_triplane_features
+from ..core.triplane import Triplane
+
+
+class AEConfig(NamedTuple):
+    data_type: str = "sdftex"          # sdf | sdftex | sdfpbr
+    enc_net_type: str = "skip"         # base | skip | pbr
+    fdim_geo: int = 4
+    fdim_tex: int = 8
+    fdim_up: int = 64
+    hidden_dim: int = 256
+    n_hidden_layers: int = 4
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def use_tex(self) -> bool:
+        return self.data_type != "sdf"
+
+    @property
+    def tex_channels(self) -> int:
+        return 8 if self.data_type == "sdfpbr" else 3
+
+    @property
+    def feat_channels(self) -> int:
+        return self.fdim_geo + (self.fdim_tex if self.use_tex else 0)
+
+
+# ---------------------------------------------------------------------------
+# MLP heads
+# ---------------------------------------------------------------------------
+
+def _mlp_init(key, cin, cout, hidden, n_hidden) -> Dict:
+    """Plain MLP (`blocks.py:45-62`): Linear+ReLU x (1+n_hidden), Linear."""
+    keys = jax.random.split(key, n_hidden + 2)
+    layers = [nn.torch_linear_init(keys[0], cin, hidden)]
+    for i in range(n_hidden):
+        layers.append(nn.torch_linear_init(keys[1 + i], hidden, hidden))
+    layers.append(nn.torch_linear_init(keys[-1], hidden, cout))
+    return {"layers": layers}
+
+
+def _mlp_apply(p: Dict, x) -> jax.Array:
+    h = x
+    for lp in p["layers"][:-1]:
+        h = jax.nn.relu(nn.linear(lp, h))
+    return nn.linear(p["layers"][-1], h)
+
+
+def _mlp_skip_init(key, cin, cout, hidden, n_hidden) -> Dict:
+    """Two MLP halves with input skip-concat at midpoint (`blocks.py:65-91`)."""
+    n_first = 1 + n_hidden // 2
+    n_second = 1 + max(n_hidden // 2 - 1, 0) + 1
+    keys = jax.random.split(key, n_first + n_second)
+    ki = iter(keys)
+    first = [nn.torch_linear_init(next(ki), cin, hidden)]
+    for _ in range(n_hidden // 2):
+        first.append(nn.torch_linear_init(next(ki), hidden, hidden))
+    second = [nn.torch_linear_init(next(ki), cin + hidden, hidden)]
+    for _ in range(n_hidden // 2 - 1):
+        second.append(nn.torch_linear_init(next(ki), hidden, hidden))
+    second.append(nn.torch_linear_init(next(ki), hidden, cout))
+    return {"first": first, "second": second}
+
+
+def _mlp_skip_apply(p: Dict, x) -> jax.Array:
+    h = x
+    for lp in p["first"]:
+        h = jax.nn.relu(nn.linear(lp, h))
+    h = jnp.concatenate([x, h], axis=-1)
+    for lp in p["second"][:-1]:
+        h = jax.nn.relu(nn.linear(lp, h))
+    return nn.linear(p["second"][-1], h)
+
+
+# ---------------------------------------------------------------------------
+# TriplaneGroupResnetBlock (`blocks.py:189-256`) — per-plane form
+# ---------------------------------------------------------------------------
+
+def _group_block_init(key, cin, cout, ks, input_norm: bool) -> Dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    kshape = (ks, ks, cin, cout)
+    p = {
+        "in_conv": {pl: nn.torch_conv_init(k, kshape)
+                    for pl, k in zip(("xy", "xz", "yz"),
+                                     jax.random.split(k1, 3))},
+        # affine InstanceNorm params, one per plane (`blocks.py:219-221`)
+        "norm": {pl: {"g": jnp.ones((cout,), jnp.float32),
+                      "b": jnp.zeros((cout,), jnp.float32)}
+                 for pl in ("xy", "xz", "yz")},
+        "out_conv": {pl: nn.zero_conv_init(kshape[:2] + (cout, cout))
+                     for pl in ("xy", "xz", "yz")},
+        "input_norm": input_norm,
+    }
+    if cin != cout:
+        p["shortcut"] = {pl: nn.torch_conv_init(k, (1, 1, cin, cout))
+                         for pl, k in zip(("xy", "xz", "yz"),
+                                          jax.random.split(k3, 3))}
+    return p
+
+
+def _group_block_apply(p: Dict, t: Triplane, input_act: bool) -> Triplane:
+    """NOTE on norm sharing: the reference reuses norm_xy/xz/yz both as the
+    optional input norm and as the mid-norm (`blocks.py:238-250`)."""
+    x = t
+    if p["input_norm"]:
+        x = Triplane(*[nn.instance_norm(pl, eps=1e-6,
+                                        gamma=p["norm"][n]["g"],
+                                        beta=p["norm"][n]["b"])
+                       for pl, n in zip(t, ("xy", "xz", "yz"))])
+    h = x
+    if input_act:
+        h = h.map(nn.silu)
+    h = Triplane(nn.conv2d(p["in_conv"]["xy"], h.xy),
+                 nn.conv2d(p["in_conv"]["xz"], h.xz),
+                 nn.conv2d(p["in_conv"]["yz"], h.yz))
+    h = Triplane(*[nn.instance_norm(pl, eps=1e-6,
+                                    gamma=p["norm"][n]["g"],
+                                    beta=p["norm"][n]["b"])
+                   for pl, n in zip(h, ("xy", "xz", "yz"))])
+    h = h.map(nn.silu)
+    h = Triplane(nn.conv2d(p["out_conv"]["xy"], h.xy),
+                 nn.conv2d(p["out_conv"]["xz"], h.xz),
+                 nn.conv2d(p["out_conv"]["yz"], h.yz))
+    if "shortcut" in p:
+        sc = Triplane(nn.conv2d(p["shortcut"]["xy"], x.xy),
+                      nn.conv2d(p["shortcut"]["xz"], x.xz),
+                      nn.conv2d(p["shortcut"]["yz"], x.yz))
+    else:
+        sc = x
+    return h + sc
+
+
+# ---------------------------------------------------------------------------
+# AutoEncoder init / apply
+# ---------------------------------------------------------------------------
+
+def init_autoencoder(key: jax.Array, cfg: AEConfig) -> Dict:
+    keys = iter(jax.random.split(key, 16))
+    p: Dict = {
+        "geo_encoder": nn.torch_conv_init(
+            next(keys), (4, 4, 4, 1, cfg.fdim_geo)),
+        "geo_convs": _group_block_init(next(keys), cfg.fdim_geo, cfg.fdim_up,
+                                       5, input_norm=False),
+    }
+    mlp_init = _mlp_init if cfg.enc_net_type == "base" else _mlp_skip_init
+    p["geo_decoder"] = mlp_init(next(keys), cfg.fdim_up, 1,
+                                cfg.hidden_dim, cfg.n_hidden_layers)
+    if cfg.use_tex:
+        p["tex_encoder"] = nn.torch_conv_init(
+            next(keys), (4, 4, 4, cfg.tex_channels + 1, cfg.fdim_tex))
+        if cfg.enc_net_type == "pbr":
+            p["tex_convs"] = [
+                _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 3,
+                                  input_norm=False),
+                _group_block_init(next(keys), cfg.fdim_up, cfg.fdim_up, 3,
+                                  input_norm=True),
+            ]
+            p["rgb_decoder"] = mlp_init(next(keys), cfg.fdim_up, 3,
+                                        cfg.hidden_dim, cfg.n_hidden_layers)
+            p["mr_decoder"] = mlp_init(next(keys), cfg.fdim_up, 2,
+                                       cfg.hidden_dim, cfg.n_hidden_layers)
+            p["normal_decoder"] = mlp_init(next(keys), cfg.fdim_up, 3,
+                                           cfg.hidden_dim, cfg.n_hidden_layers)
+        else:
+            p["tex_convs"] = [
+                _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 5,
+                                  input_norm=False)]
+            p["tex_decoder"] = mlp_init(next(keys), cfg.fdim_up,
+                                        cfg.tex_channels,
+                                        cfg.hidden_dim, cfg.n_hidden_layers)
+    return p
+
+
+def geo_param_labels(params: Dict) -> Dict:
+    """Label each leaf 'geo' or 'tex' for the split-lr optimizer
+    (reference geo_parameters/tex_parameters, `networks.py:151-155`)."""
+    geo_keys = {"geo_encoder", "geo_convs", "geo_decoder"}
+    return {k: jax.tree_util.tree_map(lambda _: "geo" if k in geo_keys
+                                      else "tex", v)
+            for k, v in params.items()}
+
+
+def encode(params: Dict, cfg: AEConfig, vol: jax.Array) -> Triplane:
+    """vol: [B, X, Y, Z, 1+tex_channels] (SDF first) -> Triplane of
+    [B, ., ., feat_channels] squashed to (-0.5, 0.5)-ish by tanh(x/2)."""
+    vol = vol.astype(cfg.compute_dtype)
+    geo_feat = nn.conv3d(params["geo_encoder"], vol[..., :1])
+    if cfg.use_tex:
+        tex_feat = nn.conv3d(params["tex_encoder"], vol)
+        feat = jnp.concatenate([geo_feat, tex_feat], axis=-1)
+    else:
+        feat = geo_feat
+    xy = jnp.mean(feat, axis=3)   # avg over z
+    xz = jnp.mean(feat, axis=2)   # avg over y
+    yz = jnp.mean(feat, axis=1)   # avg over x
+
+    def squash(a):
+        return jnp.tanh(nn.instance_norm(a, eps=1e-5) * 0.5)
+
+    return Triplane(squash(xy), squash(xz), squash(yz)).astype(jnp.float32)
+
+
+def normalize_points(pts: jax.Array, aabb: jax.Array) -> jax.Array:
+    """Map points from aabb to [-1, 1]^3 (`networks.py:196`)."""
+    lo, hi = aabb[:3], aabb[3:]
+    return 2.0 * (pts - lo) / (hi - lo) - 1.0
+
+
+def process_planes(params: Dict, cfg: AEConfig,
+                   feat: Triplane) -> Tuple[Triplane, Triplane]:
+    """Run the per-branch conv blocks once per plane set.  Separated from
+    the point decode so dense grid decoding can amortize it."""
+    geo_planes = feat.map(lambda a: a[..., :cfg.fdim_geo])
+    geo_planes = _group_block_apply(params["geo_convs"], geo_planes,
+                                    input_act=False)
+    tex_planes = None
+    if cfg.use_tex:
+        tex_planes = feat.map(lambda a: a[..., cfg.fdim_geo:])
+        blocks = params["tex_convs"]
+        tex_planes = _group_block_apply(blocks[0], tex_planes,
+                                        input_act=False)
+        for bp in blocks[1:]:
+            tex_planes = _group_block_apply(bp, tex_planes, input_act=True)
+    return geo_planes, tex_planes
+
+
+def decode_points(params: Dict, cfg: AEConfig, geo_planes: Triplane,
+                  tex_planes, pts: jax.Array, aabb: jax.Array) -> jax.Array:
+    """Decode [N, 3] world points to [N, 1+tex_channels] (sdf first).
+
+    geo_planes/tex_planes are the outputs of :func:`process_planes` with a
+    leading batch dim of 1.
+    """
+    x = normalize_points(pts, aabb)
+    gp = geo_planes.map(lambda a: a[0])
+    h_geo = sample_triplane_features(gp, x)
+    mlp = _mlp_apply if cfg.enc_net_type == "base" else _mlp_skip_apply
+    sdf = mlp(params["geo_decoder"], h_geo)
+    if not cfg.use_tex:
+        return sdf
+    tp = tex_planes.map(lambda a: a[0])
+    h_tex = sample_triplane_features(tp, x)
+    if cfg.enc_net_type == "pbr":
+        rgb = mlp(params["rgb_decoder"], h_tex)
+        mr = mlp(params["mr_decoder"], h_tex)
+        nrm = mlp(params["normal_decoder"], h_tex)
+        tex = jnp.concatenate([rgb, mr, nrm], axis=-1)
+    else:
+        tex = jax.nn.sigmoid(mlp(params["tex_decoder"], h_tex))
+    return jnp.concatenate([sdf, tex], axis=-1)
+
+
+def forward(params: Dict, cfg: AEConfig, vol: jax.Array, pts: jax.Array,
+            aabb: jax.Array) -> jax.Array:
+    """Full AE forward: encode volume then decode points
+    (`networks.py:222-224`)."""
+    feat = encode(params, cfg, vol)
+    geo_planes, tex_planes = process_planes(params, cfg, feat)
+    return decode_points(params, cfg, geo_planes, tex_planes, pts, aabb)

@@ -1,0 +1,293 @@
+"""Triplane UNet denoiser — functional JAX re-design of the reference
+`TriplaneUNetModelSmall` (`/root/reference/src/diffusion/unet_triplane.py:315-510`)
+and its no-rollout variant `TriplaneUNetModelSmallRaw` (`:513-702`).
+
+Architecture notes (kept semantically identical to the reference):
+
+* each "triplane conv" is three independent 2D convs, one per plane; with
+  rollout enabled every plane's input is concatenated with the broadcast
+  axis-means of the other two planes — the cross-plane communication
+  mechanism (`unet_triplane.py:21-60`),
+* FiLM (scale-shift) timestep conditioning applied identically to all three
+  planes (`unet_triplane.py:285-297`),
+* per-plane GroupNorm32 (fp32 compute) (`unet_triplane.py:63-84`),
+* down = 2x avgpool, up = 2x bilinear with size fix-up before skip concat
+  (`unet_triplane.py:127-145`, `:488-505`),
+* no attention layers anywhere (the reference's used config has none).
+
+TPU-native differences: channels-last planes, params as pytrees, the whole
+forward is one jitted function; optional bfloat16 compute for the torso
+(replacing the reference's manual fp16, `fp16_util.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn
+from ..core.triplane import Triplane
+
+
+class UNetConfig(NamedTuple):
+    in_channels: int = 12
+    model_channels: int = 64
+    out_channels: int = 12
+    num_res_blocks: int = 1
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2)
+    use_checkpoint: bool = False
+    use_scale_shift_norm: bool = True
+    rollout: bool = True            # unet_small vs unet_raw
+    compute_dtype: Any = jnp.float32  # set jnp.bfloat16 for TPU fast path
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * 4
+
+
+# ---------------------------------------------------------------------------
+# Triplane building blocks
+# ---------------------------------------------------------------------------
+
+def _tconv_init(key, cin: int, cout: int, ksize: int, rollout: bool,
+                zero: bool = False) -> Dict:
+    """Three per-plane convs; rollout triples the input channels."""
+    cin_eff = cin * 3 if rollout else cin
+    kshape = (ksize, ksize, cin_eff, cout)
+    if zero:
+        return {p: nn.zero_conv_init(kshape) for p in ("xy", "xz", "yz")}
+    keys = jax.random.split(key, 3)
+    return {p: nn.torch_conv_init(k, kshape)
+            for p, k in zip(("xy", "xz", "yz"), keys)}
+
+
+def _rollout_cat(t: Triplane) -> Triplane:
+    """Concat each plane with broadcast axis-means of the other two
+    (`unet_triplane.py:37-46`).  Layouts: xy [B,H,W,C], xz [B,H,D,C],
+    yz [B,W,D,C] with H~x, W~y, D~z."""
+    B = t.xy.shape[0]
+    H, W, D = t.sizes
+    C = t.channels
+
+    mean_yz_d = jnp.mean(t.yz, axis=-2)   # [B, W, C]  (y-profile)
+    mean_xz_d = jnp.mean(t.xz, axis=-2)   # [B, H, C]  (x-profile)
+    mean_xy_w = jnp.mean(t.xy, axis=-2)   # [B, H, C]  (x-profile, avg over y)
+    mean_yz_w = jnp.mean(t.yz, axis=-3)   # [B, D, C]  (z-profile, avg over y)
+    mean_xy_h = jnp.mean(t.xy, axis=-3)   # [B, W, C]  (y-profile, avg over x)
+    mean_xz_h = jnp.mean(t.xz, axis=-3)   # [B, D, C]  (z-profile, avg over x)
+
+    def b(v, shape):  # broadcast helper
+        return jnp.broadcast_to(v, shape)
+
+    xy = jnp.concatenate([
+        t.xy,
+        b(mean_yz_d[:, None, :, :], (B, H, W, C)),
+        b(mean_xz_d[:, :, None, :], (B, H, W, C)),
+    ], axis=-1)
+    xz = jnp.concatenate([
+        t.xz,
+        b(mean_xy_w[:, :, None, :], (B, H, D, C)),
+        b(mean_yz_w[:, None, :, :], (B, H, D, C)),
+    ], axis=-1)
+    yz = jnp.concatenate([
+        t.yz,
+        b(mean_xy_h[:, :, None, :], (B, W, D, C)),
+        b(mean_xz_h[:, None, :, :], (B, W, D, C)),
+    ], axis=-1)
+    return Triplane(xy, xz, yz)
+
+
+def _tconv_apply(p: Dict, t: Triplane, rollout: bool) -> Triplane:
+    if rollout:
+        t = _rollout_cat(t)
+    return Triplane(nn.conv2d(p["xy"], t.xy),
+                    nn.conv2d(p["xz"], t.xz),
+                    nn.conv2d(p["yz"], t.yz))
+
+
+def _tnorm_init(channels: int) -> Dict:
+    return {p: nn.group_norm_init(channels) for p in ("xy", "xz", "yz")}
+
+
+def _tnorm_apply(p: Dict, t: Triplane) -> Triplane:
+    return Triplane(nn.group_norm32(p["xy"], t.xy),
+                    nn.group_norm32(p["xz"], t.xz),
+                    nn.group_norm32(p["yz"], t.yz))
+
+
+def _tsilu(t: Triplane) -> Triplane:
+    return t.map(nn.silu)
+
+
+def _tdown2x(t: Triplane) -> Triplane:
+    return t.map(nn.avg_pool2x)
+
+
+def _tup2x(t: Triplane) -> Triplane:
+    return t.map(nn.upsample2x_bilinear)
+
+
+# ---------------------------------------------------------------------------
+# ResBlock
+# ---------------------------------------------------------------------------
+
+def _resblock_init(key, cin: int, cout: int, emb_dim: int,
+                   use_scale_shift: bool, rollout: bool) -> Dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "in_norm": _tnorm_init(cin),
+        "in_conv": _tconv_init(k1, cin, cout, 3, rollout),
+        "emb": nn.torch_linear_init(
+            k2, emb_dim, 2 * cout if use_scale_shift else cout),
+        "out_norm": _tnorm_init(cout),
+        "out_conv": _tconv_init(k3, cout, cout, 3, rollout, zero=True),
+    }
+    if cin != cout:
+        p["skip"] = _tconv_init(k4, cin, cout, 1, rollout=False)
+    return p
+
+
+def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
+                    use_scale_shift: bool, rollout: bool) -> Triplane:
+    h = _tnorm_apply(p["in_norm"], t)
+    h = _tsilu(h)
+    h = _tconv_apply(p["in_conv"], h, rollout)
+
+    emb_out = nn.linear(p["emb"], nn.silu(emb)).astype(h.xy.dtype)
+    emb_out = emb_out[:, None, None, :]  # [B,1,1,C or 2C]
+
+    if use_scale_shift:
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        h = _tnorm_apply(p["out_norm"], h)
+        h = h.map(lambda v: v * (1.0 + scale) + shift)
+        h = _tsilu(h)
+        h = _tconv_apply(p["out_conv"], h, rollout)
+    else:
+        h = h.map(lambda v: v + emb_out)
+        h = _tnorm_apply(p["out_norm"], h)
+        h = _tsilu(h)
+        h = _tconv_apply(p["out_conv"], h, rollout)
+
+    skip = _tconv_apply(p["skip"], t, rollout=False) if "skip" in p else t
+    return h + skip
+
+
+# ---------------------------------------------------------------------------
+# UNet init / apply
+# ---------------------------------------------------------------------------
+
+def init_unet(key: jax.Array, cfg: UNetConfig) -> Dict:
+    """Build the parameter pytree mirroring the reference's construction
+    loop (`unet_triplane.py:377-449`)."""
+    keys = iter(jax.random.split(key, 64))
+    mc = cfg.model_channels
+    emb_dim = cfg.time_embed_dim
+
+    params: Dict = {
+        "time_embed": {
+            "l1": nn.torch_linear_init(next(keys), mc, emb_dim),
+            "l2": nn.torch_linear_init(next(keys), emb_dim, emb_dim),
+        },
+    }
+
+    ch = input_ch = int(cfg.channel_mult[0] * mc)
+    params["in_conv"] = _tconv_init(next(keys), cfg.in_channels, ch, 1,
+                                    rollout=False)
+
+    input_block_chans = [ch]
+    down: List[List[Dict]] = []
+    for level, mult in enumerate(cfg.channel_mult):
+        blocks = []
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(_resblock_init(
+                next(keys), ch, int(mult * mc), emb_dim,
+                cfg.use_scale_shift_norm, cfg.rollout))
+            ch = int(mult * mc)
+        down.append(blocks)
+        input_block_chans.append(ch)
+    params["down"] = down
+
+    up: List[List[Dict]] = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        blocks = []
+        for i in range(cfg.num_res_blocks):
+            ich = input_block_chans.pop()
+            if level == len(cfg.channel_mult) - 1 and i == 0:
+                ich = 0
+            blocks.append(_resblock_init(
+                next(keys), ch + ich, int(mult * mc), emb_dim,
+                cfg.use_scale_shift_norm, cfg.rollout))
+            ch = int(mult * mc)
+        up.append(blocks)
+    params["up"] = up
+
+    params["out"] = {
+        "norm": _tnorm_init(ch),
+        "conv": _tconv_init(next(keys), input_ch, cfg.out_channels, 1,
+                            rollout=False, zero=True),
+    }
+    return params
+
+
+def _resize_to(t: Triplane, ref: Triplane) -> Triplane:
+    """Bilinear size fix-up before skip concat (`unet_triplane.py:494-499`)."""
+    planes = []
+    for cur, tgt in zip(t, ref):
+        if cur.shape[-3:-1] != tgt.shape[-3:-1]:
+            cur = nn.resize_bilinear(cur, tgt.shape[-3:-1])
+        planes.append(cur)
+    return Triplane(*planes)
+
+
+def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
+               timesteps: jax.Array) -> Triplane:
+    """Forward pass. x: Triplane of [B, ., ., C_in]; timesteps: [B].
+
+    Returns a Triplane with out_channels (same spatial sizes as input,
+    matching the reference's output-shape assert, `unet_triplane.py:509`).
+    """
+    te = params["time_embed"]
+    emb = nn.timestep_embedding(timesteps, cfg.model_channels)
+    emb = nn.linear(te["l2"], nn.silu(nn.linear(te["l1"], emb)))
+
+    h = x.astype(cfg.compute_dtype)
+    h = _tconv_apply(params["in_conv"], h, rollout=False)
+
+    def run_block(p, t, e):
+        fn = lambda pp, tt, ee: _resblock_apply(
+            pp, tt, ee, cfg.use_scale_shift_norm, cfg.rollout)
+        if cfg.use_checkpoint:
+            fn = jax.checkpoint(fn)
+        return fn(p, t, e)
+
+    hs = []
+    for level, blocks in enumerate(params["down"]):
+        if level != 0:
+            h = _tdown2x(h)
+        for bp in blocks:
+            h = run_block(bp, h, emb)
+        hs.append(h)
+
+    n_levels = len(params["up"])
+    for level, blocks in enumerate(params["up"]):
+        if level == 0:
+            h = hs.pop()
+        else:
+            skip = hs.pop()
+            h = _resize_to(h, skip)
+            h = Triplane(
+                jnp.concatenate([h.xy, skip.xy], axis=-1),
+                jnp.concatenate([h.xz, skip.xz], axis=-1),
+                jnp.concatenate([h.yz, skip.yz], axis=-1))
+        for bp in blocks:
+            h = run_block(bp, h, emb)
+        if level < n_levels - 1:
+            h = _tup2x(h)
+
+    h = _tnorm_apply(params["out"]["norm"], h)
+    h = _tsilu(h)
+    h = _tconv_apply(params["out"]["conv"], h, rollout=False)
+    return h.astype(x.dtype)

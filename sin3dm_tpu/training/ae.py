@@ -1,0 +1,424 @@
+"""Shape-autoencoder trainer — TPU-native counterpart of the reference
+`ShapeAutoEncoder` (`/root/reference/src/encoding/model.py:15-516`).
+
+The whole iteration — random point-batch gather, full-volume encode,
+triplane decode, weighted-L1 SDF + masked texture losses, split-lr AdamW +
+exponential decay — is ONE jitted function.  The reference re-runs the
+dense Conv3d encode every step (`model.py:189` -> `networks.py:222`); we
+keep those gradient semantics but XLA fuses the whole step.
+
+Data-parallel: with a mesh, the 65k-point batch shards over 'data'
+(SURVEY.md §2.3); the volume and params stay replicated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import checkpoint as ckpt
+from ..core.triplane import Triplane
+from ..models import autoencoder as ae
+from ..parallel import mesh as meshlib
+
+
+@dataclass
+class AETrainerConfig:
+    enc_batch_size: int = 65536
+    enc_n_iters: int = 25000
+    enc_lr: float = 5e-3
+    enc_lr_decay: float = 0.1          # final lr ratio (`model.py:131`)
+    enc_lr_split: float = 0.2          # geo-params lr multiplier
+    vol_ratio: float = 0.1             # fraction of grid points per batch
+    tex_threshold_ratio: float = 0.999
+    tex_weight: float = 1.0
+    sdf_loss: str = "weightedl1"       # l1 | weightedl1
+    tex_loss: str = "l1"               # l1 | l2 | huber
+    sdf_renorm: bool = False
+    fm_reso: int = 128
+
+
+class AEData(NamedTuple):
+    """Device-resident training data (loaded from the mesh-sampler npz,
+    schema at `data/mesh_sampler.py:218-222`)."""
+    input_grid: jax.Array        # [1, X, Y, Z, 1+Ct] (sdf first)
+    pts_grid: jax.Array          # [Ng, 3]
+    sdf_grid: jax.Array          # [Ng, 1] clamped to +-threshold
+    pts_near_surf: jax.Array     # [Ns, 3]
+    sdf_near_surf: jax.Array     # [Ns, 1]
+    tex_grid: Optional[jax.Array]
+    tex_near_surf: Optional[jax.Array]
+    pts_on_surf: Optional[jax.Array]
+    tex_on_surf: Optional[jax.Array]
+    aabb: jax.Array              # [6]
+
+
+def compute_featmap_size(grid_shape, fm_reso: int) -> Tuple[int, int, int]:
+    """Per-axis featmap size scaled by grid extent, floored to even
+    (`model.py:75-76`)."""
+    g = np.array(grid_shape[:3], dtype=np.float64)
+    fm = (g * (fm_reso / g.max())).astype(np.int64)
+    return tuple(int(x // 2 * 2) for x in fm)
+
+
+def load_ae_data(npz_path: str, cfg: AETrainerConfig,
+                 data_type: str = "sdftex"):
+    """Load the sampler npz; returns (AEData, meta dict).
+
+    Mirrors `_load_data` (`model.py:51-112`): clamp SDFs to the stored
+    threshold, trilinear-resize the dense grid to 2x the featmap size,
+    cap on-surface points at 2M, optional sdf renorm to [-1, 1].
+    """
+    from ..core.nn import resize_trilinear
+
+    data = np.load(npz_path)
+    aabb = np.asarray(data["aabb"], np.float32)
+    threshold = float(data["threshold"])
+    meta = {
+        "aabb": aabb.tolist(),
+        "threshold": threshold,
+        "Ka": np.asarray(data["Ka"]).tolist() if "Ka" in data else [0, 0, 0],
+        "Kd": np.asarray(data["Kd"]).tolist() if "Kd" in data else [1, 1, 1],
+        "Ks": np.asarray(data["Ks"]).tolist() if "Ks" in data
+        else [0.4, 0.4, 0.4],
+        "Ns": np.asarray(data["Ns"]).tolist() if "Ns" in data else 10,
+    }
+
+    pts_grid = np.asarray(data["pts_grid"], np.float32)
+    sdf_grid = np.asarray(data["sdf_grid"], np.float32)
+    fm_size = compute_featmap_size(pts_grid.shape, cfg.fm_reso)
+    meta["featmap_size"] = list(fm_size)
+
+    use_tex = data_type != "sdf"
+    if use_tex:
+        tex_grid = np.asarray(data["tex_grid"], np.float32)
+        vol = np.concatenate([sdf_grid[..., None], tex_grid], axis=-1)
+    else:
+        vol = sdf_grid[..., None]
+    vol_j = jnp.asarray(vol)[None]  # [1, X, Y, Z, C]
+    required = tuple(x * 2 for x in fm_size)
+    if vol.shape[:3] != required:
+        vol_j = resize_trilinear(vol_j, required)
+
+    clamp = lambda s: np.clip(s, -threshold, threshold)
+    sdf_grid_flat = clamp(sdf_grid.reshape(-1, 1))
+    pts_near = np.asarray(data["pts_near_surf"], np.float32).reshape(-1, 3)
+    sdf_near = clamp(np.asarray(data["sdf_near_surf"],
+                                np.float32).reshape(-1, 1))
+    if cfg.sdf_renorm:
+        sdf_grid_flat = sdf_grid_flat / threshold
+        sdf_near = sdf_near / threshold
+
+    tex_g = tex_n = pts_s = tex_s = None
+    if use_tex:
+        tc = tex_grid.shape[-1]
+        tex_g = jnp.asarray(tex_grid.reshape(-1, tc))
+        tex_n = jnp.asarray(
+            np.asarray(data["tex_near_surf"], np.float32).reshape(-1, tc))
+        pts_s_np = np.asarray(data["pts_on_surf"], np.float32).reshape(-1, 3)
+        tex_s_np = np.asarray(data["tex_on_surf"],
+                              np.float32).reshape(-1, tc)
+        if pts_s_np.shape[0] > 2_000_000:
+            idx = np.random.default_rng(0).permutation(
+                pts_s_np.shape[0])[:2_000_000]
+            pts_s_np, tex_s_np = pts_s_np[idx], tex_s_np[idx]
+        pts_s, tex_s = jnp.asarray(pts_s_np), jnp.asarray(tex_s_np)
+
+    ae_data = AEData(
+        input_grid=vol_j,
+        pts_grid=jnp.asarray(pts_grid.reshape(-1, 3)),
+        sdf_grid=jnp.asarray(sdf_grid_flat),
+        pts_near_surf=jnp.asarray(pts_near),
+        sdf_near_surf=jnp.asarray(sdf_near),
+        tex_grid=tex_g, tex_near_surf=tex_n,
+        pts_on_surf=pts_s, tex_on_surf=tex_s,
+        aabb=jnp.asarray(aabb))
+    return ae_data, meta
+
+
+# ---------------------------------------------------------------------------
+# Losses (`model.py:186-237`)
+# ---------------------------------------------------------------------------
+
+def sdf_loss_fn(kind: str, pred, gt):
+    if kind == "l1":
+        return jnp.mean(jnp.abs(pred - gt))
+    if kind == "weightedl1":
+        lamb = 0.5
+        weight = 1.0 + lamb * jnp.sign(gt) * jnp.sign(gt - pred)
+        return jnp.mean(jnp.abs(pred - gt) * weight)
+    raise NotImplementedError(kind)
+
+
+def masked_tex_loss_fn(kind: str, pred, gt, mask):
+    """Mean over masked points only (parity with `F.l1_loss(pred[mask],
+    gt[mask])`); safe when the mask is empty."""
+    m = mask.astype(pred.dtype)[:, None]
+    n = jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
+    if kind == "l1":
+        e = jnp.abs(pred - gt)
+    elif kind == "l2":
+        e = (pred - gt) ** 2
+    elif kind == "huber":
+        delta = 0.1
+        a = jnp.abs(pred - gt)
+        e = jnp.where(a < delta, 0.5 * a ** 2 / delta, a - 0.5 * delta)
+    else:
+        raise NotImplementedError(kind)
+    return jnp.sum(e * m) / n
+
+
+def make_optimizer(cfg: AETrainerConfig, param_labels: Dict):
+    """AdamW (torch default wd=0.01) + per-step exponential decay to
+    `enc_lr_decay` x over n_iters, geo group update scaled by
+    `enc_lr_split` (`model.py:129-139`)."""
+    gamma = cfg.enc_lr_decay ** (1.0 / cfg.enc_n_iters)
+    sched = lambda count: cfg.enc_lr * (gamma ** count)
+    base = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=0.01)
+    if cfg.enc_lr_split <= 0:
+        return base
+    scale_geo = optax.multi_transform(
+        {"geo": optax.scale(cfg.enc_lr_split), "tex": optax.identity()},
+        param_labels)
+    return optax.chain(base, scale_geo)
+
+
+class AETrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
+                    data: AEData, threshold: float, param_labels: Dict,
+                    mesh=None):
+    """Jitted AE train step. Returns step_fn(state, key) -> (state, metrics)."""
+    opt = make_optimizer(tcfg, param_labels)
+    bs = tcfg.enc_batch_size
+    n_grid = int(bs * tcfg.vol_ratio)
+    n_surf = bs - n_grid
+    use_tex = acfg.use_tex
+    tex_thr = (1.0 * tcfg.tex_threshold_ratio if tcfg.sdf_renorm
+               else threshold * tcfg.tex_threshold_ratio)
+
+    def sample_batch(key):
+        kg, ks = jax.random.split(key)
+        gi = jax.random.randint(kg, (n_grid,), 0, data.pts_grid.shape[0])
+        si = jax.random.randint(ks, (n_surf,), 0,
+                                data.pts_near_surf.shape[0])
+        pts = jnp.concatenate([data.pts_grid[gi], data.pts_near_surf[si]])
+        sdf = jnp.concatenate([data.sdf_grid[gi], data.sdf_near_surf[si]])
+        if use_tex:
+            tex = jnp.concatenate([data.tex_grid[gi],
+                                   data.tex_near_surf[si]])
+            return pts, sdf, tex
+        return pts, sdf, None
+
+    def loss_fn(params, pts, gt_sdf, gt_tex):
+        pred = ae.forward(params, acfg, data.input_grid, pts, data.aabb)
+        pred_sdf = pred[..., :1]
+        losses = {"sdf_loss": sdf_loss_fn(tcfg.sdf_loss, pred_sdf, gt_sdf)}
+        if use_tex:
+            mask = jnp.abs(gt_sdf[:, 0]) < tex_thr
+            pred_tex = pred[..., 1:]
+            if acfg.data_type == "sdfpbr":
+                losses["rgb_loss"] = masked_tex_loss_fn(
+                    tcfg.tex_loss, pred_tex[:, :3], gt_tex[:, :3],
+                    mask) * tcfg.tex_weight
+                losses["mr_loss"] = masked_tex_loss_fn(
+                    tcfg.tex_loss, pred_tex[:, 3:5], gt_tex[:, 3:5],
+                    mask) * tcfg.tex_weight
+                losses["normal_loss"] = masked_tex_loss_fn(
+                    tcfg.tex_loss, pred_tex[:, 5:], gt_tex[:, 5:],
+                    mask) * tcfg.tex_weight
+            else:
+                losses["tex_loss"] = masked_tex_loss_fn(
+                    tcfg.tex_loss, pred_tex, gt_tex, mask) * tcfg.tex_weight
+        total = sum(losses.values())
+        return total, losses
+
+    def step_fn(state: AETrainState, key: jax.Array):
+        pts, sdf, tex = sample_batch(key)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("data"))
+            pts = jax.lax.with_sharding_constraint(pts, sh)
+            sdf = jax.lax.with_sharding_constraint(sdf, sh)
+            if tex is not None:
+                tex = jax.lax.with_sharding_constraint(tex, sh)
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, pts, sdf, tex)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        return AETrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (`model.py:290-309, 491-516`)
+# ---------------------------------------------------------------------------
+
+def evaluate_tsdf_prediction(pred_sdf: np.ndarray, gt_sdf: np.ndarray,
+                             sdf_threshold: float) -> Dict[str, float]:
+    """Bucketed TSDF L1 / relative error / sign accuracy."""
+    res: Dict[str, float] = {}
+    l1 = np.abs(pred_sdf - gt_sdf)
+    rel = l1 / np.abs(gt_sdf)
+    acc = (pred_sdf * gt_sdf >= 0).astype(np.float32)
+    res["mean_tsdf_l1_error"] = float(l1.mean())
+    res["mean_tsdf_rel_error"] = float(rel.mean())
+    res["mean_tsdf_acc"] = float(acc.mean())
+    n = 4
+    unit = sdf_threshold / n
+    ranges = [i * unit for i in range(n + 1)] + [unit * (n + 1)]
+    for i in range(len(ranges) - 1):
+        m = (np.abs(gt_sdf) >= ranges[i]) & (np.abs(gt_sdf) < ranges[i + 1])
+        suffix = f"{i}-{n}-{i + 1}-n"
+        res[f"mean_tsdf_l1_error_{suffix}"] = (
+            float(l1[m].mean()) if m.any() else float("nan"))
+        res[f"mean_tsdf_rel_error_{suffix}"] = (
+            float(rel[m].mean()) if m.any() else float("nan"))
+        res[f"mean_tsdf_acc_{suffix}"] = (
+            float(acc[m].mean()) if m.any() else float("nan"))
+        res[f"mean_tsdf_count_{suffix}"] = int(m.sum())
+    return res
+
+
+# ---------------------------------------------------------------------------
+# High-level trainer object (checkpoint name contract: ckpt_final.pth)
+# ---------------------------------------------------------------------------
+
+class AETrainer:
+    def __init__(self, log_dir: str, acfg: ae.AEConfig,
+                 tcfg: AETrainerConfig, mesh=None):
+        self.log_dir = log_dir
+        self.acfg = acfg
+        self.tcfg = tcfg
+        self.mesh = mesh
+        self.params: Optional[Dict] = None
+        self.data: Optional[AEData] = None
+        self.meta: Dict = {}
+        self._jit_process = None
+        self._jit_decode = None
+        os.makedirs(log_dir, exist_ok=True)
+
+    def load_data(self, npz_path: str):
+        self.data, self.meta = load_ae_data(npz_path, self.tcfg,
+                                            self.acfg.data_type)
+
+    def train(self, key: jax.Array, n_iters: Optional[int] = None,
+              log_every: int = 100, eval_every: Optional[int] = None):
+        assert self.data is not None
+        n_iters = n_iters or self.tcfg.enc_n_iters
+        init_key, key = jax.random.split(key)
+        if self.params is None:
+            self.params = ae.init_autoencoder(init_key, self.acfg)
+        labels = ae.geo_param_labels(self.params)
+        opt = make_optimizer(self.tcfg, labels)
+        state = AETrainState(self.params, opt.init(self.params),
+                             jnp.zeros((), jnp.int32))
+        step_fn = make_train_step(self.acfg, self.tcfg, self.data,
+                                  self.meta["threshold"], labels,
+                                  mesh=self.mesh)
+        from ..core import logger
+        for i in range(n_iters):
+            key, sk = jax.random.split(key)
+            state, metrics = step_fn(state, sk)
+            if i % log_every == 0:
+                for k, v in metrics.items():
+                    logger.logkv(f"ae/{k}", float(v))
+                logger.logkv("ae/iter", i)
+                logger.dumpkvs()
+        self.params = jax.device_get(state.params)
+
+        eval_stat = self.evaluate()
+        with open(os.path.join(self.log_dir, "eval_stat.json"), "w") as f:
+            json.dump(eval_stat, f, indent=2)
+        self.save_ckpt("final")
+        return eval_stat
+
+    # -- encode / decode -----------------------------------------------------
+
+    def encode(self) -> Triplane:
+        assert self.data is not None and self.params is not None
+        return jax.jit(ae.encode, static_argnums=(1,))(
+            self.params, self.acfg, self.data.input_grid)
+
+    def decode_batch(self, feat: Triplane, points, batch_size: int = 2 ** 16,
+                     aabb=None) -> np.ndarray:
+        """Chunked point decode with color clamp (`model.py:319-333`).
+
+        The plane conv blocks run ONCE (the reference recomputes them for
+        every 16k-point chunk, `model.py:327-330` -> `networks.py:204-212`);
+        the final partial chunk is padded so one compiled shape serves the
+        whole decode.
+        """
+        assert self.params is not None
+        if aabb is None:
+            aabb = self.meta["aabb"]
+        aabb = jnp.asarray(aabb, jnp.float32)
+
+        if self._jit_process is None:
+            self._jit_process = jax.jit(
+                lambda p, f: ae.process_planes(p, self.acfg, f))
+            self._jit_decode = jax.jit(
+                lambda p, gp, tp, pts, ab: ae.decode_points(
+                    p, self.acfg, gp, tp, pts, ab))
+        geo_planes, tex_planes = self._jit_process(self.params, feat)
+
+        points = np.asarray(points, np.float32)
+        N = points.shape[0]
+        outs = []
+        for i in range(0, N, batch_size):
+            chunk = points[i:i + batch_size]
+            n = chunk.shape[0]
+            if n < batch_size:
+                chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
+            out = self._jit_decode(self.params, geo_planes, tex_planes,
+                                   jnp.asarray(chunk), aabb)
+            outs.append(np.asarray(out)[:n])
+        preds = np.concatenate(outs, axis=0)
+        if preds.shape[-1] > 1:
+            preds[..., 1:] = np.clip(preds[..., 1:], 0.0, 1.0)
+        return preds
+
+    def evaluate(self) -> Dict[str, float]:
+        feat = self.encode()
+        thr = self.meta["threshold"]
+        pred = self.decode_batch(feat, np.asarray(self.data.pts_grid))[:, :1]
+        gt = np.asarray(self.data.sdf_grid)
+        if self.tcfg.sdf_renorm:
+            pred, gt = pred * thr, gt * thr
+        stat = evaluate_tsdf_prediction(pred, gt, thr)
+        if self.acfg.use_tex and self.data.pts_on_surf is not None:
+            tex_pred = self.decode_batch(
+                feat, np.asarray(self.data.pts_on_surf))[:, 1:]
+            stat["surf_tex_l1_error"] = float(
+                np.abs(tex_pred - np.asarray(self.data.tex_on_surf)).mean())
+        return stat
+
+    # -- checkpoints (`model.py:141-176`) ------------------------------------
+
+    def save_ckpt(self, name: str) -> None:
+        path = os.path.join(self.log_dir, f"ckpt_{name}.pth")
+        ckpt.save_pytree(path, self.params, meta=self.meta)
+
+    def load_ckpt(self, name: str) -> None:
+        path = os.path.join(self.log_dir, f"ckpt_{name}.pth")
+        if self.params is None:
+            self.params = ae.init_autoencoder(jax.random.PRNGKey(0),
+                                              self.acfg)
+        self.params, self.meta = ckpt.load_pytree(path, self.params)
+
+

@@ -1,0 +1,242 @@
+"""Diffusion training loop — TPU-native counterpart of the reference
+`TrainLoop` (`/root/reference/src/diffusion/train_util.py:26-293`).
+
+One fused, jitted train step does: timestep sampling, q_sample, UNet
+forward, per-plane MSE, AdamW update, linear lr anneal and the EMA update —
+all as device-side pytree ops (the reference splits these across host-side
+helpers + `MixedPrecisionTrainer`).  bf16-on-TPU removes the fp16 loss-scale
+machinery (`fp16_util.py:148-233`); a NaN/inf grad guard skips bad steps,
+preserving the reference's overflow-skip behavior (`fp16_util.py:189-197`).
+
+Data-parallel: pass a `Mesh` and the batch axis of the triplane batch (and
+the per-step RNG) is sharded over `data`; XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import checkpoint as ckpt
+from ..core import logger
+from ..core.triplane import Triplane
+from ..diffusion import resample
+from ..diffusion.gaussian import DiffusionConfig, training_losses
+from ..parallel import mesh as meshlib
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    ema_params: Tuple[Dict, ...]
+    opt_state: optax.OptState
+    sampler_state: resample.SamplerState
+    step: jax.Array
+
+
+@dataclass
+class DiffusionTrainerConfig:
+    lr: float = 5e-4
+    weight_decay: float = 0.0
+    lr_anneal_steps: int = 25000
+    ema_rates: Tuple[float, ...] = (0.9999,)
+    batch_size: int = 32
+    schedule_sampler: str = "uniform"   # uniform | loss-second-moment
+    log_interval: int = 100
+    save_interval: int = 25000
+
+
+def make_optimizer(cfg: DiffusionTrainerConfig) -> optax.GradientTransformation:
+    """AdamW with the reference's linear anneal to zero
+    (`train_util.py:241-247`): lr(step) = lr * (1 - step/anneal_steps)."""
+    if cfg.lr_anneal_steps:
+        def sched(count):
+            frac = jnp.minimum(count / cfg.lr_anneal_steps, 1.0)
+            return cfg.lr * (1.0 - frac)
+    else:
+        sched = cfg.lr
+    return optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=cfg.weight_decay)
+
+
+def init_train_state(params: Dict, cfg: DiffusionTrainerConfig,
+                     num_timesteps: int) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        # deep-copy: EMA leaves must not alias the param buffers (the train
+        # step donates the state, and aliased donation is invalid)
+        ema_params=tuple(jax.tree_util.tree_map(jnp.copy, params)
+                         for _ in cfg.ema_rates),
+        opt_state=opt.init(params),
+        sampler_state=resample.init_sampler_state(num_timesteps),
+        step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model_apply, tables, dcfg: DiffusionConfig,
+                    tcfg: DiffusionTrainerConfig,
+                    mesh=None):
+    """Build the jitted train step.
+
+    model_apply: (params, x_t: Triplane, t) -> Triplane.
+    Returns step_fn(state, batch: Triplane, key) -> (state, metrics).
+    metrics carries per-example loss terms + t for quartile logging.
+    """
+    opt = make_optimizer(tcfg)
+    T = int(tables["betas"].shape[0])
+    use_loss_aware = tcfg.schedule_sampler == "loss-second-moment"
+
+    def step_fn(state: TrainState, batch: Triplane, key: jax.Array):
+        tkey, nkey = jax.random.split(key)
+        B = batch.xy.shape[0]
+        if use_loss_aware:
+            t, weights = resample.sample_loss_aware(
+                tkey, B, state.sampler_state)
+        else:
+            t, weights = resample.sample_uniform(tkey, B, T)
+
+        def loss_fn(params):
+            terms = training_losses(
+                lambda x, tt: model_apply(params, x, tt),
+                tables, dcfg, batch, t, nkey)
+            return jnp.mean(terms["loss"] * weights), terms
+
+        (loss, terms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # NaN guard: skip the update on non-finite grads (bf16-era analog of
+        # the fp16 overflow skip, `fp16_util.py:189-197`).
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), params, state.params)
+
+        ema_params = tuple(
+            jax.tree_util.tree_map(
+                lambda e, p, r=rate: e * r + p * (1.0 - r),
+                ema, params)
+            for rate, ema in zip(tcfg.ema_rates, state.ema_params))
+
+        sampler_state = state.sampler_state
+        if use_loss_aware:
+            sampler_state = resample.update_sampler_state(
+                sampler_state, t, terms["loss"])
+
+        metrics = {"grad_norm": gnorm, "skipped": ~ok, "t": t,
+                   "loss_w": terms["loss"] * weights}
+        metrics.update({k: v for k, v in terms.items()})
+        new_state = TrainState(params=params, ema_params=ema_params,
+                               opt_state=opt_state,
+                               sampler_state=sampler_state,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data"))
+        tri_b = Triplane(bsh, bsh, bsh)
+        # state replicated (None -> propagate from placement), batch sharded
+        # on its leading axis, RNG key replicated; XLA inserts the grad psum.
+        return jax.jit(step_fn,
+                       in_shardings=(None, tri_b, rep),
+                       donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def quartile_log(metrics: Dict, num_timesteps: int) -> None:
+    """Reference-style quartile loss keys (`train_util.py:283-293`)."""
+    t = np.asarray(metrics["t"])
+    for key in ("loss", "mse_xy", "mse_xz", "mse_yz"):
+        if key not in metrics:
+            continue
+        vals = np.asarray(metrics[key])
+        logger.logkv_mean(key, float(vals.mean()), count=len(vals))
+        quartile = (4 * t // num_timesteps).astype(np.int32)
+        for q in range(4):
+            m = quartile == q
+            if m.any():
+                logger.logkv_mean(f"{key}_q{q}", float(vals[m].mean()),
+                                  count=int(m.sum()))
+
+
+def ema_checkpoint_name(rate: float, step: int) -> str:
+    """`ema_{rate}_{step:06d}.pt` (`train_util.py:264-266`)."""
+    return f"ema_{rate}_{step:06d}.pt"
+
+
+def opt_checkpoint_name(step: int) -> str:
+    return f"opt{step:06d}.pt"
+
+
+class DiffusionTrainLoop:
+    """Host-side loop: logging, checkpoints, periodic sample viz hooks.
+
+    Honors the `DIFFUSION_TRAINING_TEST` env hook: exit after the first
+    save (`train_util.py:155-157`) for integration tests.
+    """
+
+    def __init__(self, model_apply, params, tables, dcfg: DiffusionConfig,
+                 tcfg: DiffusionTrainerConfig, log_dir: str,
+                 batch: Triplane, mesh=None, sample_hook=None):
+        self.model_apply = model_apply
+        self.tables = tables
+        self.dcfg = dcfg
+        self.tcfg = tcfg
+        self.log_dir = log_dir
+        self.batch = batch
+        self.mesh = mesh
+        self.sample_hook = sample_hook
+        self.T = int(tables["betas"].shape[0])
+        self.state = init_train_state(params, tcfg, self.T)
+        self.step_fn = make_train_step(model_apply, tables, dcfg, tcfg,
+                                       mesh=mesh)
+        os.makedirs(log_dir, exist_ok=True)
+
+    def run(self, key: jax.Array, n_steps: Optional[int] = None) -> None:
+        n_steps = n_steps or self.tcfg.lr_anneal_steps
+        batch = self.batch
+        if self.mesh is not None:
+            batch = meshlib.shard_batch(self.mesh, batch)
+            self.state = meshlib.replicate(self.mesh, self.state)
+        saved_at = -1
+        for step in range(n_steps):
+            key, sk = jax.random.split(key)
+            self.state, metrics = self.step_fn(self.state, batch, sk)
+            if step % 10 == 0:
+                quartile_log(metrics, self.T)
+                logger.logkv("step", step)
+                logger.logkv("samples",
+                             (step + 1) * self.tcfg.batch_size)
+            if step % self.tcfg.log_interval == 0:
+                logger.dumpkvs()
+            if self.sample_hook and step % 5000 == 0:
+                self.sample_hook(self, step)
+            if step > 0 and step % self.tcfg.save_interval == 0:
+                self.save(step)
+                saved_at = step
+                if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                    return
+        final = n_steps
+        if saved_at != final:
+            self.save(final)
+
+    def save(self, step: int) -> None:
+        for rate, ema in zip(self.tcfg.ema_rates, self.state.ema_params):
+            path = os.path.join(self.log_dir,
+                                ema_checkpoint_name(rate, step))
+            ckpt.save_pytree(path, jax.device_get(ema))
+            logger.log(f"saved {path}")
+        opt_path = os.path.join(self.log_dir, opt_checkpoint_name(step))
+        ckpt.save_pytree(opt_path, jax.device_get(self.state.opt_state))

@@ -1,0 +1,168 @@
+"""Functional diffusion math on Triplane pytrees: q/p identities, training
+losses, DDIM determinism (`gaussian_diffusion.py` parity at the math level)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin3dm_tpu.core.triplane import Triplane, randn
+from sin3dm_tpu.diffusion import gaussian as gd
+from sin3dm_tpu.diffusion.schedule import make_schedule
+
+
+def _tables(steps=100, respace=""):
+    return {k: jnp.asarray(v)
+            for k, v in make_schedule("linear", steps, respace)
+            .tables_f32().items()}
+
+
+def _cfg(**kw):
+    return gd.DiffusionConfig(**kw)
+
+
+def _x0(key, B=2, C=4, sizes=(8, 6, 4)):
+    return randn(key, B, C, sizes)
+
+
+def test_q_sample_endpoints():
+    tables = _tables()
+    key = jax.random.PRNGKey(0)
+    x0 = _x0(key)
+    noise = randn(jax.random.PRNGKey(1), 2, 4, (8, 6, 4))
+    t0 = jnp.zeros((2,), jnp.int32)
+    xt = gd.q_sample(tables, x0, t0, noise)
+    # at t=0, x_t ~= sqrt(1-beta0) x0 + sqrt(beta0) eps, nearly x0
+    a0 = float(np.sqrt(1 - 1000 / 100 * 0.0001))
+    np.testing.assert_allclose(
+        np.asarray(xt.xy),
+        a0 * np.asarray(x0.xy)
+        + np.sqrt(1 - a0 ** 2) * np.asarray(noise.xy), rtol=1e-4, atol=1e-5)
+
+
+def test_posterior_mean_identity():
+    """q_posterior(x0, x_t = sqrt(acp_t) x0) == sqrt(acp_{t-1}) x0."""
+    tables = _tables()
+    x0 = _x0(jax.random.PRNGKey(2))
+    t = jnp.full((2,), 37, jnp.int32)
+    xt = gd.extract(tables, "sqrt_alphas_cumprod", t, x0) * x0
+    mean = gd.q_posterior_mean(tables, x0, xt, t)
+    expect = gd.extract(tables, "alphas_cumprod_prev", t, x0)
+    np.testing.assert_allclose(
+        np.asarray(mean.xy),
+        np.sqrt(np.asarray(expect.xy)) * np.asarray(x0.xy),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_eps_xstart_inverse():
+    tables = _tables()
+    x0 = _x0(jax.random.PRNGKey(3))
+    noise = randn(jax.random.PRNGKey(4), 2, 4, (8, 6, 4))
+    t = jnp.full((2,), 61, jnp.int32)
+    xt = gd.q_sample(tables, x0, t, noise)
+    eps = gd.predict_eps_from_xstart(tables, xt, t, x0)
+    np.testing.assert_allclose(np.asarray(eps.xy), np.asarray(noise.xy),
+                               rtol=1e-3, atol=1e-3)
+    x0_rec = gd.predict_xstart_from_eps(tables, xt, t, noise)
+    np.testing.assert_allclose(np.asarray(x0_rec.xy), np.asarray(x0.xy),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_p_mean_variance_start_x():
+    """With START_X the model output (clipped) IS pred_xstart and the mean is
+    the posterior mean (`gaussian_diffusion.py:306-315`)."""
+    tables = _tables()
+    cfg = _cfg()
+    x = _x0(jax.random.PRNGKey(5))
+    pred = x.map(lambda p: p * 3.0)  # exceeds [-1,1] to exercise clipping
+
+    def model(xt, tt):
+        return pred
+
+    t = jnp.full((2,), 50, jnp.int32)
+    out = gd.p_mean_variance(model, tables, cfg, x, t, clip_denoised=True)
+    clipped = pred.map(lambda p: jnp.clip(p, -1, 1))
+    np.testing.assert_allclose(np.asarray(out.pred_xstart.xy),
+                               np.asarray(clipped.xy))
+    expect_mean = gd.q_posterior_mean(tables, clipped, x, t)
+    np.testing.assert_allclose(np.asarray(out.mean.xy),
+                               np.asarray(expect_mean.xy), rtol=1e-5)
+    # FIXED_LARGE log-variance table check
+    np.testing.assert_allclose(
+        np.asarray(out.log_variance.xy)[0, 0, 0, 0],
+        np.asarray(tables["fixed_large_log_variance"])[50], rtol=1e-6)
+
+
+def test_training_losses_per_plane():
+    tables = _tables()
+    cfg = _cfg()
+    x0 = _x0(jax.random.PRNGKey(6))
+
+    def model(xt, tt):
+        return xt.map(jnp.zeros_like)  # predicts 0 -> target=x0, mse=E[x0^2]
+
+    t = jnp.full((2,), 10, jnp.int32)
+    terms = gd.training_losses(model, tables, cfg, x0, t,
+                               jax.random.PRNGKey(7))
+    for k in ("mse_xy", "mse_xz", "mse_yz", "loss"):
+        assert terms[k].shape == (2,)
+    np.testing.assert_allclose(
+        np.asarray(terms["mse_xy"]),
+        np.mean(np.asarray(x0.xy) ** 2, axis=(1, 2, 3)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(terms["loss"]),
+        np.asarray(terms["mse_xy"] + terms["mse_xz"] + terms["mse_yz"]),
+        rtol=1e-6)
+
+
+def test_ddim_eta0_deterministic():
+    tables = _tables()
+    cfg = _cfg()
+    x = _x0(jax.random.PRNGKey(8))
+
+    def model(xt, tt):
+        return xt.map(lambda p: jnp.tanh(p))
+
+    t = jnp.full((2,), 42, jnp.int32)
+    s1 = gd.ddim_sample_step(model, tables, cfg, x, t,
+                             jax.random.PRNGKey(100), eta=0.0)
+    s2 = gd.ddim_sample_step(model, tables, cfg, x, t,
+                             jax.random.PRNGKey(999), eta=0.0)
+    np.testing.assert_allclose(np.asarray(s1.xy), np.asarray(s2.xy))
+
+
+def test_p_sample_t0_no_noise():
+    """At t=0 no noise is added (`gaussian_diffusion.py:432-439`)."""
+    tables = _tables()
+    cfg = _cfg()
+    x = _x0(jax.random.PRNGKey(9))
+
+    def model(xt, tt):
+        return xt.map(lambda p: jnp.tanh(p))
+
+    t0 = jnp.zeros((2,), jnp.int32)
+    s1 = gd.p_sample_step(model, tables, cfg, x, t0, jax.random.PRNGKey(0))
+    s2 = gd.p_sample_step(model, tables, cfg, x, t0, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(s1.xy), np.asarray(s2.xy))
+
+
+def test_respaced_model_timestep_remap():
+    tables = _tables(100, "ddim10")
+    cfg = _cfg(original_num_steps=100)
+    t = jnp.arange(10, dtype=jnp.int32)
+    remapped = gd.model_timesteps(tables, cfg, t)
+    np.testing.assert_array_equal(np.asarray(remapped),
+                                  np.arange(0, 100, 10))
+
+
+def test_normal_kl_zero():
+    kl = gd.normal_kl(1.5, 0.3, 1.5, 0.3)
+    assert float(kl) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_discretized_gaussian_ll_sums_to_one_ish():
+    # likelihood of x under its own mean with moderate scale is high
+    x = jnp.linspace(-0.9, 0.9, 11)
+    ll = gd.discretized_gaussian_log_likelihood(
+        x, means=x, log_scales=jnp.full_like(x, -5.0))
+    assert np.all(np.asarray(ll) > -3.0)

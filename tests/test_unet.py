@@ -1,0 +1,146 @@
+"""Triplane UNet: shapes on nondivisible anisotropic sizes, zero-init output,
+rollout plumbing, checkpointing (`unet_triplane.py:315-510` parity checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin3dm_tpu.core.triplane import randn
+from sin3dm_tpu.models.unet import (UNetConfig, _rollout_cat, init_unet,
+                                    unet_apply)
+
+
+def _small_cfg(**kw):
+    # model_channels must be a multiple of 32 (GroupNorm32 constraint, like
+    # the reference's normalization(), `src/diffusion/nn.py:93-100`)
+    kw.setdefault("in_channels", 6)
+    kw.setdefault("model_channels", 32)
+    kw.setdefault("out_channels", 6)
+    return UNetConfig(**kw)
+
+
+@pytest.mark.parametrize("sizes", [(16, 16, 8), (12, 14, 10), (12, 14, 11),
+                                   (9, 7, 5)])
+def test_output_shape_matches_input(sizes):
+    """Output triplane must mirror the input sizes exactly even for odd /
+    anisotropic extents via the bilinear fix-up (`unet_triplane.py:494-505`)."""
+    cfg = _small_cfg()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = randn(jax.random.PRNGKey(1), 2, cfg.in_channels, sizes)
+    t = jnp.array([3, 500])
+    y = unet_apply(params, cfg, x, t)
+    assert y.sizes == sizes
+    assert y.xy.shape == (2, sizes[0], sizes[1], cfg.out_channels)
+    assert y.xz.shape == (2, sizes[0], sizes[2], cfg.out_channels)
+    assert y.yz.shape == (2, sizes[1], sizes[2], cfg.out_channels)
+
+
+def test_zero_init_output():
+    """The final conv is zero-initialised (`unet_triplane.py:441-445`), so a
+    fresh model outputs exactly zero."""
+    cfg = _small_cfg()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = randn(jax.random.PRNGKey(1), 1, cfg.in_channels, (8, 8, 8))
+    y = unet_apply(params, cfg, x, jnp.array([10]))
+    for p in y:
+        np.testing.assert_array_equal(np.asarray(p), 0.0)
+
+
+def test_rollout_cat_orientation():
+    """Cross-plane rollout must broadcast the correct axis-means
+    (`unet_triplane.py:37-46`): xy gets [self, yz z-mean over y-axis cols,
+    xz z-mean over x-axis rows]."""
+    B, H, W, D, C = 1, 3, 4, 5, 2
+    rng = np.random.default_rng(0)
+    xy = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    xz = rng.standard_normal((B, H, D, C)).astype(np.float32)
+    yz = rng.standard_normal((B, W, D, C)).astype(np.float32)
+    from sin3dm_tpu.core.triplane import Triplane
+    out = _rollout_cat(Triplane(jnp.asarray(xy), jnp.asarray(xz),
+                                jnp.asarray(yz)))
+    oxy = np.asarray(out.xy)
+    assert oxy.shape == (B, H, W, 3 * C)
+    # channel block 1: mean of yz over D, indexed by the y (W) axis
+    np.testing.assert_allclose(oxy[0, 1, :, C:2 * C], yz.mean(axis=2)[0],
+                               rtol=1e-6)
+    # channel block 2: mean of xz over D, indexed by the x (H) axis
+    np.testing.assert_allclose(oxy[0, :, 2, 2 * C:], xz.mean(axis=2)[0],
+                               rtol=1e-6)
+    oxz = np.asarray(out.xz)
+    # xz gets xy's y-mean (x profile) then yz's y-mean (z profile)
+    np.testing.assert_allclose(oxz[0, :, 3, C:2 * C], xy.mean(axis=2)[0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(oxz[0, 1, :, 2 * C:], yz.mean(axis=1)[0],
+                               rtol=1e-6)
+    oyz = np.asarray(out.yz)
+    np.testing.assert_allclose(oyz[0, :, 3, C:2 * C], xy.mean(axis=1)[0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(oyz[0, 1, :, 2 * C:], xz.mean(axis=1)[0],
+                               rtol=1e-6)
+
+
+def test_raw_variant_no_rollout():
+    cfg = _small_cfg(rollout=False)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # in_conv of a resblock has cin channels (not 3x) without rollout
+    w = params["down"][0][0]["in_conv"]["xy"]["w"]
+    assert w.shape[2] == cfg.model_channels  # not tripled
+    x = randn(jax.random.PRNGKey(1), 1, cfg.in_channels, (8, 10, 6))
+    y = unet_apply(params, cfg, x, jnp.array([0]))
+    assert y.sizes == (8, 10, 6)
+
+
+def test_rollout_channel_width():
+    cfg = _small_cfg()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    w = params["down"][0][0]["in_conv"]["xy"]["w"]
+    assert w.shape[2] == 3 * cfg.model_channels
+
+
+def test_jit_and_grad():
+    cfg = _small_cfg()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = randn(jax.random.PRNGKey(1), 1, cfg.in_channels, (8, 8, 8))
+    t = jnp.array([100])
+
+    @jax.jit
+    def loss_fn(p):
+        y = unet_apply(p, cfg, x, t)
+        return sum(jnp.sum(pl ** 2) for pl in y)
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert np.isfinite(float(gnorm))
+
+
+def test_checkpointed_forward_matches():
+    cfg = _small_cfg()
+    cfg_ckpt = _small_cfg(use_checkpoint=True)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # perturb out conv so output is nonzero
+    params["out"]["conv"]["xy"]["w"] = (
+        params["out"]["conv"]["xy"]["w"] + 0.01)
+    x = randn(jax.random.PRNGKey(1), 1, cfg.in_channels, (8, 8, 8))
+    t = jnp.array([42])
+    y1 = unet_apply(params, cfg, x, t)
+    y2 = unet_apply(params, cfg_ckpt, x, t)
+    np.testing.assert_allclose(np.asarray(y1.xy), np.asarray(y2.xy),
+                               rtol=1e-6)
+
+
+def test_default_config_parameter_structure():
+    """Default (12, 64, 12, mult 1,2) builds 2 down levels, 2 up levels,
+    matching the reference's printed structure."""
+    cfg = UNetConfig()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    assert len(params["down"]) == 2 and len(params["up"]) == 2
+    # down level 1: 64 -> 128
+    assert params["down"][1][0]["in_conv"]["xy"]["w"].shape == (3, 3, 192, 128)
+    # up entry 0 (deepest): 128 -> 128, no skip concat
+    assert params["up"][0][0]["in_conv"]["xy"]["w"].shape == (3, 3, 384, 128)
+    # up entry 1: 128+64=192 -> 64
+    assert params["up"][1][0]["in_conv"]["xy"]["w"].shape == (3, 3, 576, 64)
+    # FiLM: emb produces 2*out_channels
+    assert params["down"][0][0]["emb"]["w"].shape == (256, 128)
