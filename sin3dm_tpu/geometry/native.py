@@ -1,0 +1,216 @@
+"""ctypes bindings for the first-party C++ geometry library.
+
+Builds `cpp/libsin3dm_geometry.so` on first use if missing (g++ is part of
+the baked toolchain).  All functions operate on contiguous float32/int32
+numpy arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
+_SO_PATH = os.path.join(_CPP_DIR, "libsin3dm_geometry.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+c_float_p = ctypes.POINTER(ctypes.c_float)
+c_int_p = ctypes.POINTER(ctypes.c_int)
+c_ubyte_p = ctypes.POINTER(ctypes.c_ubyte)
+
+
+def _build() -> None:
+    subprocess.run(["make", "-C", _CPP_DIR], check=True,
+                   capture_output=True)
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        _build()
+    L = ctypes.CDLL(_SO_PATH)
+
+    L.geo_free.argtypes = [ctypes.c_void_p]
+    L.geo_marching_cubes.argtypes = [
+        c_float_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(c_float_p), c_int_p, ctypes.POINTER(c_int_p), c_int_p]
+    L.geo_marching_cubes.restype = ctypes.c_int
+    L.geo_connected_components.argtypes = [c_int_p, ctypes.c_int,
+                                           ctypes.c_int, c_int_p]
+    L.geo_connected_components.restype = ctypes.c_int
+    L.geo_decimate.argtypes = [
+        c_float_p, ctypes.c_int, c_int_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_float_p), c_int_p, ctypes.POINTER(c_int_p), c_int_p]
+    L.geo_decimate.restype = ctypes.c_int
+    L.geo_bvh_build.argtypes = [c_float_p, ctypes.c_int, c_int_p,
+                                ctypes.c_int]
+    L.geo_bvh_build.restype = ctypes.c_void_p
+    L.geo_bvh_destroy.argtypes = [ctypes.c_void_p]
+    L.geo_bvh_closest.argtypes = [ctypes.c_void_p, c_float_p, ctypes.c_int,
+                                  c_float_p, c_int_p, c_float_p]
+    L.geo_bvh_winding.argtypes = [ctypes.c_void_p, c_float_p, ctypes.c_int,
+                                  c_float_p]
+    L.geo_bvh_signed_distance.argtypes = [ctypes.c_void_p, c_float_p,
+                                          ctypes.c_int, c_float_p, c_int_p,
+                                          c_float_p]
+    L.geo_rasterize_uv.argtypes = [c_float_p, ctypes.c_int, c_int_p,
+                                   c_float_p, c_int_p, ctypes.c_int,
+                                   ctypes.c_int, c_float_p, c_ubyte_p]
+    _lib = L
+    return L
+
+
+def _f32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def _i32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _take_floats(ptr, n: int) -> np.ndarray:
+    arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+    lib().geo_free(ctypes.cast(ptr, ctypes.c_void_p))
+    return arr
+
+
+def _take_ints(ptr, n: int) -> np.ndarray:
+    arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+    lib().geo_free(ctypes.cast(ptr, ctypes.c_void_p))
+    return arr
+
+
+def marching_cubes(grid: np.ndarray,
+                   iso: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract isosurface; vertices in index space (PyMCubes convention,
+    used by `utils3d.py:196-213`)."""
+    g = _f32(grid)
+    nx, ny, nz = g.shape
+    vp = c_float_p()
+    tp = c_int_p()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib().geo_marching_cubes(
+        g.ctypes.data_as(c_float_p), nx, ny, nz, iso,
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    if rc != 0:
+        raise RuntimeError("marching_cubes failed")
+    v = _take_floats(vp, nv.value * 3).reshape(-1, 3).astype(np.float64)
+    f = _take_ints(tp, nt.value * 3).reshape(-1, 3).astype(np.int64)
+    return v, f
+
+
+def face_components(faces: np.ndarray, n_verts: int
+                    ) -> Tuple[np.ndarray, int]:
+    f = _i32(faces).reshape(-1)
+    out = np.empty(len(f) // 3, dtype=np.int32)
+    n = lib().geo_connected_components(
+        f.ctypes.data_as(c_int_p), len(f) // 3, n_verts,
+        out.ctypes.data_as(c_int_p))
+    return out, int(n)
+
+
+def decimate(verts: np.ndarray, faces: np.ndarray,
+             target_faces: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Quadric edge-collapse to ~target_faces (open3d
+    simplify_quadric_decimation replacement, `utils3d.py:216-221`)."""
+    v = _f32(verts).reshape(-1)
+    f = _i32(faces).reshape(-1)
+    vp = c_float_p()
+    tp = c_int_p()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib().geo_decimate(
+        v.ctypes.data_as(c_float_p), len(v) // 3,
+        f.ctypes.data_as(c_int_p), len(f) // 3, int(target_faces),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    if rc != 0:
+        raise RuntimeError("decimate failed")
+    vo = _take_floats(vp, nv.value * 3).reshape(-1, 3).astype(np.float64)
+    fo = _take_ints(tp, nt.value * 3).reshape(-1, 3).astype(np.int64)
+    return vo, fo
+
+
+class MeshBVH:
+    """Closest-point + fast-winding-number queries on a triangle mesh
+    (point_cloud_utils replacement for `signed_distance_to_mesh` /
+    `closest_points_on_mesh`, `data/mesh_sampler.py:104-119`)."""
+
+    def __init__(self, verts: np.ndarray, faces: np.ndarray):
+        self._v = _f32(verts).reshape(-1, 3)
+        self._f = _i32(faces).reshape(-1, 3)
+        self._h = lib().geo_bvh_build(
+            self._v.ctypes.data_as(c_float_p), len(self._v),
+            self._f.ctypes.data_as(c_int_p), len(self._f))
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                lib().geo_bvh_destroy(self._h)
+        except Exception:
+            pass
+
+    def closest(self, pts: np.ndarray):
+        """-> (dist [N], face [N], bary [N,3])"""
+        p = _f32(pts).reshape(-1, 3)
+        n = len(p)
+        dist = np.empty(n, np.float32)
+        face = np.empty(n, np.int32)
+        bary = np.empty((n, 3), np.float32)
+        lib().geo_bvh_closest(self._h, p.ctypes.data_as(c_float_p), n,
+                              dist.ctypes.data_as(c_float_p),
+                              face.ctypes.data_as(c_int_p),
+                              bary.ctypes.data_as(c_float_p))
+        return dist, face, bary
+
+    def winding(self, pts: np.ndarray) -> np.ndarray:
+        p = _f32(pts).reshape(-1, 3)
+        n = len(p)
+        w = np.empty(n, np.float32)
+        lib().geo_bvh_winding(self._h, p.ctypes.data_as(c_float_p), n,
+                              w.ctypes.data_as(c_float_p))
+        return w
+
+    def signed_distance(self, pts: np.ndarray):
+        """-> (sdf [N] negative inside, face [N], bary [N,3])"""
+        p = _f32(pts).reshape(-1, 3)
+        n = len(p)
+        sdf = np.empty(n, np.float32)
+        face = np.empty(n, np.int32)
+        bary = np.empty((n, 3), np.float32)
+        lib().geo_bvh_signed_distance(self._h, p.ctypes.data_as(c_float_p),
+                                      n, sdf.ctypes.data_as(c_float_p),
+                                      face.ctypes.data_as(c_int_p),
+                                      bary.ctypes.data_as(c_float_p))
+        return sdf, face, bary
+
+
+def rasterize_uv(uvs: np.ndarray, tri_uv: np.ndarray, verts: np.ndarray,
+                 tri_pos: np.ndarray, res: int):
+    """Rasterize mesh triangles in UV space -> per-texel 3D position + mask
+    (nvdiffrast replacement for the texture bake, `utils3d.py:228-251`).
+
+    Returns (pos [res,res,3], mask [res,res] bool); row r covers
+    v=(r+0.5)/res (no flip applied here).
+    """
+    u = _f32(uvs).reshape(-1, 2)
+    tu = _i32(tri_uv).reshape(-1)
+    v = _f32(verts).reshape(-1)
+    tpv = _i32(tri_pos).reshape(-1)
+    nt = len(tu) // 3
+    pos = np.zeros((res, res, 3), np.float32)
+    mask = np.zeros((res, res), np.uint8)
+    lib().geo_rasterize_uv(
+        u.ctypes.data_as(c_float_p), len(u), tu.ctypes.data_as(c_int_p),
+        v.ctypes.data_as(c_float_p), tpv.ctypes.data_as(c_int_p), nt, res,
+        pos.ctypes.data_as(c_float_p), mask.ctypes.data_as(c_ubyte_p))
+    return pos, mask.astype(bool)

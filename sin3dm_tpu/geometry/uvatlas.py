@@ -1,0 +1,164 @@
+"""First-party UV atlas generation (xatlas replacement for texture baking,
+`/root/reference/src/encoding/utils3d.py:228-251`).
+
+Method: normal-axis chart segmentation (6 directional bins), orthographic
+per-chart projection, and shelf packing into the unit square — the same
+family as Blender's "Smart UV Project".  Quality requirements here are
+modest: the atlas only carries baked texture colors queried from the
+triplane decoder, so low distortion + no overlaps is what matters, both of
+which this construction guarantees (projection along the dominant normal
+axis bounds distortion; disjoint packing rects prevent overlap).
+
+Returns (uvs [N,2], mesh_tex_idx [F,3]) like xatlas.parametrize.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Tuple
+
+import numpy as np
+
+
+def _face_normals(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    tri = v[f]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+_AXES = np.array([
+    [1, 0, 0], [-1, 0, 0],
+    [0, 1, 0], [0, -1, 0],
+    [0, 0, 1], [0, 0, -1],
+], np.float64)
+
+# (u_axis, v_axis) for each bin; u flipped on negative bins so charts are
+# not mirrored
+_PROJ = [
+    ((0, -1, 0), (0, 0, 1)),   # +x: u=-y, v=z
+    ((0, 1, 0), (0, 0, 1)),    # -x: u=+y, v=z
+    ((1, 0, 0), (0, 0, 1)),    # +y: u=x, v=z
+    ((-1, 0, 0), (0, 0, 1)),   # -y
+    ((1, 0, 0), (0, 1, 0)),    # +z: u=x, v=y
+    ((-1, 0, 0), (0, 1, 0)),   # -z
+]
+
+
+def _charts_by_axis(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Per-face chart id: connected components within each normal bin."""
+    fn = _face_normals(v, f)
+    bins = np.argmax(fn @ _AXES.T, axis=1)
+
+    # face adjacency via shared (sorted) edges
+    edge_to_faces = defaultdict(list)
+    for fi, tri in enumerate(f):
+        for k in range(3):
+            a, b = tri[k], tri[(k + 1) % 3]
+            edge_to_faces[(min(a, b), max(a, b))].append(fi)
+
+    parent = np.arange(len(f))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for faces in edge_to_faces.values():
+        for i in range(1, len(faces)):
+            a, b = faces[0], faces[i]
+            if bins[a] == bins[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+
+    roots = np.array([find(i) for i in range(len(f))])
+    _, chart = np.unique(roots, return_inverse=True)
+    return chart, bins
+
+
+def parametrize(v: np.ndarray, f: np.ndarray, padding: float = 0.004
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (uvs [N,2] in [0,1], mesh_tex_idx [F,3] indices into uvs)."""
+    chart, bins = _charts_by_axis(v, f)
+    n_charts = chart.max() + 1 if len(f) else 0
+
+    # project each chart; duplicate vertices per (chart, vertex)
+    uv_list = []
+    tex_idx = np.zeros_like(f)
+    chart_rects = []          # (w, h) of each chart in world units
+    chart_vert_uv = []        # list of dict vertex -> uv row
+    for c in range(n_charts):
+        faces_c = np.where(chart == c)[0]
+        bin_id = bins[faces_c[0]]
+        u_ax = np.array(_PROJ[bin_id][0], np.float64)
+        v_ax = np.array(_PROJ[bin_id][1], np.float64)
+        vids = np.unique(f[faces_c].reshape(-1))
+        uv = np.stack([v[vids] @ u_ax, v[vids] @ v_ax], axis=-1)
+        uv -= uv.min(axis=0)
+        w, h = uv.max(axis=0) if len(uv) else (0, 0)
+        chart_rects.append((max(w, 1e-9), max(h, 1e-9)))
+        mapping = {vid: i for i, vid in enumerate(vids)}
+        chart_vert_uv.append((faces_c, mapping, uv))
+
+    # shelf-pack rects into [0,1]^2: binary search global scale
+    order = sorted(range(n_charts),
+                   key=lambda c: -chart_rects[c][1])  # by height desc
+
+    def try_pack(scale):
+        pos = {}
+        x = y = shelf_h = 0.0
+        for c in order:
+            w = chart_rects[c][0] * scale + 2 * padding
+            h = chart_rects[c][1] * scale + 2 * padding
+            if w > 1.0 or h > 1.0:
+                return None
+            if x + w > 1.0:
+                y += shelf_h
+                x, shelf_h = 0.0, 0.0
+            if y + h > 1.0:
+                return None
+            pos[c] = (x + padding, y + padding)
+            x += w
+            shelf_h = max(shelf_h, h)
+        return pos
+
+    total_area = sum(w * h for w, h in chart_rects)
+    hi = 1.0 / np.sqrt(total_area) if total_area > 0 else 1.0
+    lo = hi * 1e-3
+    pos = try_pack(lo)
+    if pos is None:
+        raise RuntimeError("uv packing failed even at minimal scale")
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        p = try_pack(mid)
+        if p is not None:
+            lo, pos = mid, p
+        else:
+            hi = mid
+    scale = lo
+
+    # emit uvs
+    uvs_out = []
+    for c in range(n_charts):
+        faces_c, mapping, uv = chart_vert_uv[c]
+        ox, oy = pos[c]
+        base = len(uvs_out)
+        uvs_out.extend((uv * scale + np.array([ox, oy])).tolist())
+        for fi in faces_c:
+            for k in range(3):
+                tex_idx[fi, k] = base + mapping[f[fi, k]]
+
+    return np.asarray(uvs_out, np.float64), tex_idx.astype(np.int64)
+
+
+def uv_unwrap_and_rasterize(v: np.ndarray, f: np.ndarray, resolution: int):
+    """Full xatlas_uvmap replacement (`utils3d.py:228-251`): parametrize,
+    rasterize the UV charts at `resolution`, return
+    (uvs, mesh_tex_idx, gb_pos [R,R,3], mask [R,R])."""
+    from . import native
+    uvs, tex_idx = parametrize(v, f)
+    gb_pos, mask = native.rasterize_uv(
+        uvs.astype(np.float32), tex_idx.astype(np.int32),
+        v.astype(np.float32), f.astype(np.int32), resolution)
+    return uvs, tex_idx, gb_pos, mask

@@ -103,7 +103,7 @@ def _mlp_skip_apply(p: Dict, x) -> jax.Array:
 # TriplaneGroupResnetBlock (`blocks.py:189-256`) — per-plane form
 # ---------------------------------------------------------------------------
 
-def _group_block_init(key, cin, cout, ks, input_norm: bool) -> Dict:
+def _group_block_init(key, cin, cout, ks) -> Dict:
     k1, k2, k3 = jax.random.split(key, 3)
     kshape = (ks, ks, cin, cout)
     p = {
@@ -116,7 +116,6 @@ def _group_block_init(key, cin, cout, ks, input_norm: bool) -> Dict:
                  for pl in ("xy", "xz", "yz")},
         "out_conv": {pl: nn.zero_conv_init(kshape[:2] + (cout, cout))
                      for pl in ("xy", "xz", "yz")},
-        "input_norm": input_norm,
     }
     if cin != cout:
         p["shortcut"] = {pl: nn.torch_conv_init(k, (1, 1, cin, cout))
@@ -125,11 +124,14 @@ def _group_block_init(key, cin, cout, ks, input_norm: bool) -> Dict:
     return p
 
 
-def _group_block_apply(p: Dict, t: Triplane, input_act: bool) -> Triplane:
+def _group_block_apply(p: Dict, t: Triplane, input_act: bool,
+                       input_norm: bool = False) -> Triplane:
     """NOTE on norm sharing: the reference reuses norm_xy/xz/yz both as the
-    optional input norm and as the mid-norm (`blocks.py:238-250`)."""
+    optional input norm and as the mid-norm (`blocks.py:238-250`).
+    input_norm/input_act are config, not params (they always travel
+    together in the reference's AE usage, `networks.py:246-250`)."""
     x = t
-    if p["input_norm"]:
+    if input_norm:
         x = Triplane(*[nn.instance_norm(pl, eps=1e-6,
                                         gamma=p["norm"][n]["g"],
                                         beta=p["norm"][n]["b"])
@@ -166,8 +168,8 @@ def init_autoencoder(key: jax.Array, cfg: AEConfig) -> Dict:
     p: Dict = {
         "geo_encoder": nn.torch_conv_init(
             next(keys), (4, 4, 4, 1, cfg.fdim_geo)),
-        "geo_convs": _group_block_init(next(keys), cfg.fdim_geo, cfg.fdim_up,
-                                       5, input_norm=False),
+        "geo_convs": _group_block_init(next(keys), cfg.fdim_geo,
+                                       cfg.fdim_up, 5),
     }
     mlp_init = _mlp_init if cfg.enc_net_type == "base" else _mlp_skip_init
     p["geo_decoder"] = mlp_init(next(keys), cfg.fdim_up, 1,
@@ -177,10 +179,8 @@ def init_autoencoder(key: jax.Array, cfg: AEConfig) -> Dict:
             next(keys), (4, 4, 4, cfg.tex_channels + 1, cfg.fdim_tex))
         if cfg.enc_net_type == "pbr":
             p["tex_convs"] = [
-                _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 3,
-                                  input_norm=False),
-                _group_block_init(next(keys), cfg.fdim_up, cfg.fdim_up, 3,
-                                  input_norm=True),
+                _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 3),
+                _group_block_init(next(keys), cfg.fdim_up, cfg.fdim_up, 3),
             ]
             p["rgb_decoder"] = mlp_init(next(keys), cfg.fdim_up, 3,
                                         cfg.hidden_dim, cfg.n_hidden_layers)
@@ -190,8 +190,7 @@ def init_autoencoder(key: jax.Array, cfg: AEConfig) -> Dict:
                                            cfg.hidden_dim, cfg.n_hidden_layers)
         else:
             p["tex_convs"] = [
-                _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 5,
-                                  input_norm=False)]
+                _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 5)]
             p["tex_decoder"] = mlp_init(next(keys), cfg.fdim_up,
                                         cfg.tex_channels,
                                         cfg.hidden_dim, cfg.n_hidden_layers)
@@ -247,7 +246,8 @@ def process_planes(params: Dict, cfg: AEConfig,
         tex_planes = _group_block_apply(blocks[0], tex_planes,
                                         input_act=False)
         for bp in blocks[1:]:
-            tex_planes = _group_block_apply(bp, tex_planes, input_act=True)
+            tex_planes = _group_block_apply(bp, tex_planes, input_act=True,
+                                            input_norm=True)
     return geo_planes, tex_planes
 
 

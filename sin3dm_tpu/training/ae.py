@@ -191,6 +191,14 @@ def make_optimizer(cfg: AETrainerConfig, param_labels: Dict):
     return optax.chain(base, scale_geo)
 
 
+def _strip_batch(feat: Triplane, keep: bool = True) -> Triplane:
+    """Ensure planes have a leading batch dim of 1 (decode paths expect
+    [1, H, W, C])."""
+    if feat.xy.ndim == 3:
+        return Triplane(feat.xy[None], feat.xz[None], feat.yz[None])
+    return feat
+
+
 class AETrainState(NamedTuple):
     params: Dict
     opt_state: optax.OptState
@@ -365,9 +373,10 @@ class AETrainer:
         whole decode.
         """
         assert self.params is not None
+        feat = _strip_batch(feat)
         if aabb is None:
             aabb = self.meta["aabb"]
-        aabb = jnp.asarray(aabb, jnp.float32)
+        aabb = jnp.asarray(np.asarray(aabb), jnp.float32)
 
         if self._jit_process is None:
             self._jit_process = jax.jit(
@@ -392,6 +401,144 @@ class AETrainer:
         if preds.shape[-1] > 1:
             preds[..., 1:] = np.clip(preds[..., 1:], 0.0, 1.0)
         return preds
+
+    def decode_grid(self, feat: Triplane, reso: int, aabb=None,
+                    batch_size: int = 2 ** 16) -> np.ndarray:
+        """Decode the AABB voxel-center grid -> [Nx, Ny, Nz, 1+Ct]
+        (`model.py:335-349`)."""
+        from ..dataio.grid import sample_grid_points_aabb
+        if aabb is None:
+            aabb = self.meta["aabb"]
+        coords = sample_grid_points_aabb(np.asarray(aabb), reso)
+        Nx, Ny, Nz, _ = coords.shape
+        preds = self.decode_batch(feat, coords.reshape(-1, 3),
+                                  batch_size=batch_size, aabb=aabb)
+        return preds.reshape(Nx, Ny, Nz, -1)
+
+    def _resize_aabb(self, featmap_size) -> np.ndarray:
+        """Retargeted AABB when sampled planes differ from training size
+        (`model.py:351-360`)."""
+        base = np.asarray(self.meta["featmap_size"], np.float64)
+        new = np.asarray(featmap_size, np.float64)
+        aabb = np.asarray(self.meta["aabb"], np.float64)
+        if not np.array_equal(base, new):
+            scale = new / base
+            out = aabb.copy()
+            out[:3] = aabb[:3] * scale
+            out[3:] = aabb[3:] * scale
+            return out
+        return aabb
+
+    def decode_texmesh(self, save_dir: str, feat: Triplane, reso: int,
+                       n_faces: int = 10000, n_surf_pc: int = -1,
+                       texture_reso: int = 2048, only_largest_cc: bool = True,
+                       save_highres_mesh: bool = False,
+                       save_voxel: bool = True, mtl_path=None,
+                       file_format: str = "obj") -> None:
+        """Full mesh-extraction pipeline (`model.py:362-473`): decode dense
+        SDF grid -> marching cubes (largest CC) -> renormalize to AABB ->
+        quadric decimation -> UV atlas + raster bake -> decode texels ->
+        seam dilation -> obj/glb/pbr export."""
+        import cv2
+        from ..geometry import meshio, meshproc, uvatlas
+
+        feat = _strip_batch(feat, keep=True)
+        H, W = feat.xy.shape[-3], feat.xy.shape[-2]
+        D = feat.xz.shape[-2]
+        new_aabb = self._resize_aabb((H, W, D))
+
+        os.makedirs(save_dir, exist_ok=True)
+        grid = self.decode_grid(feat, reso, aabb=new_aabb)
+        sdf_grid = grid[..., 0]
+        if save_voxel:
+            np.savez_compressed(os.path.join(save_dir, "voxel.npz"),
+                                vox_grid=sdf_grid < 0)
+
+        v, f = meshproc.sdfgrid_to_mesh(sdf_grid,
+                                        only_largest_cc=only_largest_cc)
+        if save_highres_mesh:
+            meshio.save_mesh_vf(
+                os.path.join(save_dir, f"mesh_r{reso}.obj"), v, f)
+
+        # renormalize index-space verts into the AABB (`model.py:384-387`)
+        box_min = new_aabb[:3]
+        box_size = new_aabb[3:].max() - new_aabb[:3].min()
+        v = v / reso * box_size + box_min
+
+        v, f = meshproc.mesh_decimation(v, f, n_faces)
+
+        if self.acfg.data_type == "sdf":
+            np.savez_compressed(os.path.join(save_dir, f"sdfgrid_r{reso}.npz"),
+                                sdf_grid=sdf_grid)
+            meshio.save_mesh_vf(
+                os.path.join(save_dir, f"mesh_r{reso}_simple.obj"), v, f)
+            return
+
+        if n_surf_pc > 0:
+            fi, bc = meshproc.sample_mesh_random(v, f, n_surf_pc)
+            surf_pts = meshproc.interpolate_barycentric(f, fi, bc, v)
+            preds = self.decode_batch(feat, surf_pts, aabb=new_aabb)
+            meshio.save_colored_pointcloud_obj(
+                os.path.join(save_dir, f"surf_pc_n{n_surf_pc}.obj"),
+                surf_pts, np.clip(preds[..., 1:4], 0, 1))
+
+        uvs, tex_idx, gb_pos, mask = uvatlas.uv_unwrap_and_rasterize(
+            v, f, texture_reso)
+
+        texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
+        preds = self.decode_batch(feat, texels, aabb=new_aabb)
+        n_tex_ch = preds.shape[-1] - 1
+        tex_img = np.zeros((texture_reso, texture_reso, n_tex_ch), np.float32)
+        tex_img[mask] = np.clip(preds[..., 1:], 0, 1)
+        tex_img = (tex_img * 255).astype(np.uint8)
+
+        # 3x3 dilation fills seam texels (`model.py:426-429`)
+        m = mask[..., None].astype(np.uint8)
+        dilate_img = cv2.dilate(tex_img, np.ones((3, 3), "uint8"),
+                                iterations=1)
+        if dilate_img.ndim == 2:
+            dilate_img = dilate_img[..., None]
+        tex_img = tex_img * m + dilate_img * (1 - m)
+        tex_img = np.clip(tex_img, 0, 255).astype(np.uint8)
+        tex_img = tex_img[::-1]  # flip: texture row 0 = top (v = 1)
+
+        if self.acfg.data_type == "sdftex":
+            if file_format == "obj":
+                mtl_str = (meshio.read_material_params_from_mtl(mtl_path)
+                           if mtl_path else None)
+                meshio.save_mesh_with_tex(
+                    os.path.join(save_dir, "object.obj"),
+                    np.asarray(v), uvs, np.asarray(f), tex_idx, tex_img,
+                    mtl_str=mtl_str,
+                    Kd=self.meta.get("Kd", [1, 1, 1]),
+                    Ka=self.meta.get("Ka", [0, 0, 0]),
+                    Ks=self.meta.get("Ks", [0.4, 0.4, 0.4]),
+                    Ns=self.meta.get("Ns", 10))
+            elif file_format == "glb":
+                meshio.save_mesh_with_tex_to_glb(
+                    os.path.join(save_dir, "object.glb"),
+                    np.asarray(v), uvs, np.asarray(f), tex_idx, tex_img)
+            else:
+                raise NotImplementedError(file_format)
+        elif self.acfg.data_type == "sdfpbr":
+            meshio.save_mesh_with_pbr(
+                os.path.join(save_dir, "object.obj"),
+                np.asarray(v), uvs, np.asarray(f), tex_idx,
+                tex_img[..., :3], tex_img[..., 3], tex_img[..., 4],
+                tex_img[..., 5:])
+        else:
+            raise NotImplementedError(self.acfg.data_type)
+
+    def decode_voxel(self, save_dir: str, feat: Triplane, reso: int) -> None:
+        """Voxelize the decoded SDF grid (`model.py:475-488`)."""
+        feat = _strip_batch(feat, keep=True)
+        H, W = feat.xy.shape[-3], feat.xy.shape[-2]
+        D = feat.xz.shape[-2]
+        new_aabb = self._resize_aabb((H, W, D))
+        os.makedirs(save_dir, exist_ok=True)
+        sdf_grid = self.decode_grid(feat, reso, aabb=new_aabb)[..., 0]
+        np.savez_compressed(os.path.join(save_dir, f"r{reso}_voxel.npz"),
+                            vox_grid=sdf_grid < 0)
 
     def evaluate(self) -> Dict[str, float]:
         feat = self.encode()

@@ -1,0 +1,145 @@
+"""Native geometry kernels: marching cubes (watertightness on analytic
+SDFs), connected components, decimation, BVH SDF, UV rasterizer."""
+
+import numpy as np
+import pytest
+
+from sin3dm_tpu.geometry import native
+
+
+def _sphere_sdf(n=32, r=0.35):
+    xs = np.linspace(0, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    return (np.linalg.norm(g - 0.5, axis=-1) - r).astype(np.float32), xs
+
+
+def _edge_counts(faces):
+    from collections import Counter
+    c = Counter()
+    for a, b, cc in faces:
+        for u, v in ((a, b), (b, cc), (cc, a)):
+            c[(min(u, v), max(u, v))] += 1
+    return c
+
+
+def test_marching_cubes_sphere_watertight():
+    sdf, xs = _sphere_sdf(32, 0.35)
+    v, f = native.marching_cubes(sdf, 0.0)
+    assert len(v) > 100 and len(f) > 100
+    # every edge shared by exactly 2 triangles -> closed 2-manifold;
+    # this validates the generated MC tables (incl. ambiguous cases)
+    counts = _edge_counts(f)
+    assert all(c == 2 for c in counts.values())
+    # vertices on the sphere of radius 0.35*(n-1) in index space
+    center = (len(xs) - 1) / 2.0
+    radii = np.linalg.norm(v - center, axis=1) / (len(xs) - 1)
+    np.testing.assert_allclose(radii, 0.35, atol=0.02)
+
+
+def test_marching_cubes_orientation_outward():
+    """Triangle normals should point outward (away from the negative-inside
+    region), matching the obj-export convention."""
+    sdf, xs = _sphere_sdf(24, 0.3)
+    v, f = native.marching_cubes(sdf, 0.0)
+    center = (len(xs) - 1) / 2.0
+    tri = v[f]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    cdir = tri.mean(axis=1) - center
+    dots = (n * cdir).sum(-1)
+    frac_outward = (dots > 0).mean()
+    assert frac_outward > 0.99 or frac_outward < 0.01  # consistent
+    assert frac_outward > 0.99, "normals must point outward"
+
+
+def test_marching_cubes_two_spheres_components():
+    n = 40
+    xs = np.linspace(0, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    s1 = np.linalg.norm(g - np.array([0.3, 0.3, 0.3]), axis=-1) - 0.15
+    s2 = np.linalg.norm(g - np.array([0.7, 0.7, 0.7]), axis=-1) - 0.1
+    sdf = np.minimum(s1, s2).astype(np.float32)
+    v, f = native.marching_cubes(sdf, 0.0)
+    comp, n_comp = native.face_components(f, len(v))
+    assert n_comp == 2
+    # the larger sphere has more faces
+    counts = np.bincount(comp)
+    big = np.argmax(counts)
+    assert counts[big] > counts[1 - big]
+
+
+def test_decimation_preserves_shape():
+    sdf, xs = _sphere_sdf(40, 0.4)
+    v, f = native.marching_cubes(sdf, 0.0)
+    target = 500
+    v2, f2 = native.decimate(v, f, target)
+    assert len(f2) <= target * 1.1
+    assert len(f2) > target * 0.3
+    center = (len(xs) - 1) / 2.0
+    radii = np.linalg.norm(v2 - center, axis=1) / (len(xs) - 1)
+    np.testing.assert_allclose(radii.mean(), 0.4, atol=0.02)
+    assert radii.std() < 0.02
+
+
+def test_bvh_signed_distance_cube():
+    # unit cube mesh [0,1]^3, 12 triangles, outward normals
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],      # z=0 (normal -z)
+        [4, 5, 6], [4, 6, 7],      # z=1 (+z)
+        [0, 1, 5], [0, 5, 4],      # y=0 (-y)
+        [2, 3, 7], [2, 7, 6],      # y=1 (+y)
+        [0, 4, 7], [0, 7, 3],      # x=0 (-x)
+        [1, 2, 6], [1, 6, 5],      # x=1 (+x)
+    ], np.int32)
+    bvh = native.MeshBVH(v, f)
+    pts = np.array([[0.5, 0.5, 0.5],    # center: inside, dist 0.5
+                    [0.5, 0.5, 1.25],   # outside, dist 0.25
+                    [0.1, 0.5, 0.5],    # inside, dist 0.1
+                    [-0.3, 0.5, 0.5]], np.float32)
+    sdf, face, bary = bvh.signed_distance(pts)
+    np.testing.assert_allclose(sdf, [-0.5, 0.25, -0.1, 0.3], atol=1e-5)
+    w = bvh.winding(pts)
+    np.testing.assert_allclose(w, [1, 0, 1, 0], atol=0.01)
+
+
+def test_bvh_winding_matches_exact_on_sphere_mesh():
+    sdf, xs = _sphere_sdf(24, 0.3)
+    v, f = native.marching_cubes(sdf, 0.0)
+    bvh = native.MeshBVH(v.astype(np.float32), f.astype(np.int32))
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, len(xs) - 1, size=(500, 3)).astype(np.float32)
+    w = bvh.winding(pts)
+    center = (len(xs) - 1) / 2.0
+    inside = np.linalg.norm(pts - center, axis=1) / (len(xs) - 1) < 0.3
+    # away from the surface, winding is essentially 0/1
+    margin = np.abs(np.linalg.norm(pts - center, axis=1) / (len(xs) - 1)
+                    - 0.3) > 0.03
+    agree = (w[margin] > 0.5) == inside[margin]
+    assert agree.mean() > 0.995
+
+
+def test_bvh_closest_point():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    bvh = native.MeshBVH(v, f)
+    dist, face, bary = bvh.closest([[0.25, 0.25, 1.0], [2.0, 0.0, 0.0]])
+    np.testing.assert_allclose(dist, [1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(bary[0], [0.5, 0.25, 0.25], atol=1e-6)
+    np.testing.assert_allclose(bary[1], [0, 1, 0], atol=1e-6)  # corner
+
+
+def test_rasterize_uv():
+    # one triangle covering the lower-left UV half
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    tri_uv = np.array([[0, 1, 2]], np.int32)
+    verts = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0]], np.float32)
+    tri_pos = tri_uv
+    pos, mask = native.rasterize_uv(uvs, tri_uv, verts, tri_pos, 64)
+    assert mask.shape == (64, 64)
+    frac = mask.mean()
+    assert 0.45 < frac < 0.55
+    # position interpolates linearly: texel (r=0,c=31) ~ u=(31.5)/64
+    r, c = 0, 31
+    assert mask[r, c]
+    np.testing.assert_allclose(pos[r, c, 0], 10 * (c) / 64, atol=0.3)

@@ -1,0 +1,105 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: DP train step,
+sharded point batches, and the driver's dryrun contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin3dm_tpu.core.triplane import randn
+from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
+from sin3dm_tpu.diffusion.schedule import make_schedule
+from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
+from sin3dm_tpu.parallel import mesh as meshlib
+from sin3dm_tpu.training.diffusion import (DiffusionTrainerConfig,
+                                           init_train_state, make_train_step)
+
+
+def _tables(steps=50):
+    return {k: jnp.asarray(v)
+            for k, v in make_schedule("linear", steps).tables_f32().items()}
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_train_step_runs_sharded():
+    mesh = meshlib.make_mesh(8)
+    ucfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), ucfg)
+    tcfg = DiffusionTrainerConfig(batch_size=16, lr_anneal_steps=10)
+    dcfg = DiffusionConfig(original_num_steps=50)
+    tables = _tables()
+
+    state = init_train_state(params, tcfg, 50)
+    state = meshlib.replicate(mesh, state)
+    batch = randn(jax.random.PRNGKey(1), 16, 4, (8, 8, 8))
+    batch = meshlib.shard_batch(mesh, batch)
+    # verify actual device placement of the batch
+    assert len(batch.xy.sharding.device_set) == 8
+
+    step = make_train_step(lambda p, x, t: unet_apply(p, ucfg, x, t),
+                           tables, dcfg, tcfg, mesh=mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(jnp.mean(metrics["loss"])))
+    # params remain replicated after the update
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device_loss():
+    """Same seed, same batch: the sharded step must compute the same loss
+    as the unsharded step (DP is numerically a pure layout change here)."""
+    ucfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), ucfg)
+    tcfg = DiffusionTrainerConfig(batch_size=8, lr_anneal_steps=10)
+    dcfg = DiffusionConfig(original_num_steps=50)
+    tables = _tables()
+    batch = randn(jax.random.PRNGKey(1), 8, 4, (8, 8, 8))
+    key = jax.random.PRNGKey(2)
+
+    # copy params per state: the train step donates its state, so each
+    # TrainState needs its own buffers
+    state1 = init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                              tcfg, 50)
+    step1 = make_train_step(lambda p, x, t: unet_apply(p, ucfg, x, t),
+                            tables, dcfg, tcfg)
+    _, m1 = step1(state1, batch, key)
+
+    mesh = meshlib.make_mesh(8)
+    state2 = init_train_state(jax.tree_util.tree_map(jnp.copy, params),
+                              tcfg, 50)
+    state2 = meshlib.replicate(mesh, state2)
+    batch2 = meshlib.shard_batch(mesh, batch)
+    step2 = make_train_step(lambda p, x, t: unet_apply(p, ucfg, x, t),
+                            tables, dcfg, tcfg, mesh=mesh)
+    _, m2 = step2(state2, batch2, key)
+
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]),
+                               rtol=1e-4)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    # compile-check (lowering only — full compile of the 64x64x48 flagship
+    # is exercised by the driver on real hardware)
+    jax.jit(fn).lower(*args)
