@@ -76,8 +76,43 @@ def train_diffusion(args):
     logger.log("training...")
     loop = DiffusionTrainLoop(
         lambda p, x, t: unet_apply(p, ucfg, x, t),
-        params, tables, dcfg, tcfg, log_dir, batch, mesh=dev_mesh)
+        params, tables, dcfg, tcfg, log_dir, batch, mesh=dev_mesh,
+        sample_hook=_make_sample_viz_hook(ucfg, feat.sizes),
+        resume=bool(getattr(args, "resume", 0)))
     loop.run(jax.random.PRNGKey(1))
+
+
+def _make_sample_viz_hook(ucfg, sizes):
+    """Every 5000 steps draw 2 DDPM samples and log plane-0 heatmaps to
+    TensorBoard (`train_util.py:171-196` behavior)."""
+    from ..core.rng import draw_scalar_field2D
+    from ..diffusion.sampling import p_sample_loop
+    from ..models.unet import unet_apply
+    import jax.numpy as jnp
+    import numpy as np
+
+    def hook(loop, step):
+        if loop.tb is None:
+            return
+        params = jax.device_get(loop.state.params)
+        sample = p_sample_loop(
+            lambda x, t: unet_apply(params, ucfg, x, t),
+            loop.tables, loop.dcfg, jax.random.PRNGKey(step + 7),
+            2, ucfg.in_channels, sizes, clip_denoised=False)
+        xy = np.asarray(sample.xy)
+        C = xy.shape[-1]
+        for i in range(2):
+            loop.tb.add_figure(f"sample{i}_c0",
+                               draw_scalar_field2D(xy[i, :, :, 0]),
+                               global_step=step)
+            loop.tb.add_figure(f"sample{i}_c{C // 2}",
+                               draw_scalar_field2D(xy[i, :, :, C // 2]),
+                               global_step=step)
+        data_xy = np.asarray(loop.batch.xy)
+        loop.tb.add_figure("data_c0",
+                           draw_scalar_field2D(data_xy[0, :, :, 0]),
+                           global_step=step)
+    return hook
 
 
 def main(argv=None):

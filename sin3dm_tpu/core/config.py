@@ -114,6 +114,9 @@ def add_diffusion_training_options(parser) -> None:
     g.add_argument("--save_interval", type=int, default=25000)
     g.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
+    g.add_argument("--resume", type=int, default=0,
+                   help="resume diffusion training from the latest EMA/opt "
+                        "checkpoint in the log dir")
     _add_dict(g, diffusion_defaults())
     _add_dict(g, diffusion_model_defaults())
 
@@ -185,7 +188,9 @@ def train_args(argv=None, assume_yes: bool = False):
     add_diffusion_training_options(parser)
     args = parser.parse_args(argv)
 
-    if os.path.exists(args.tag) and not assume_yes and argv is None:
+    import sys
+    if (os.path.exists(args.tag) and not assume_yes and argv is None
+            and sys.stdin.isatty()):
         response = input(f'Folder "{args.tag}" already exists, '
                          'continue? (y/n) ')
         if response != "y":

@@ -284,3 +284,73 @@ def forward(params: Dict, cfg: AEConfig, vol: jax.Array, pts: jax.Array,
     feat = encode(params, cfg, vol)
     geo_planes, tex_planes = process_planes(params, cfg, feat)
     return decode_points(params, cfg, geo_planes, tex_planes, pts, aabb)
+
+
+def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
+                      tex_planes, grid_res: Tuple[int, int, int],
+                      slab: int = 8) -> jax.Array:
+    """Dense AABB-grid decode WITHOUT gathers.
+
+    Voxel centers of the AABB grid normalize to exactly the half-pixel
+    sample positions of `grid_sample(align_corners=False)`, so sampling a
+    feature plane over the whole regular grid IS a bilinear resize of that
+    plane.  The decode becomes: resize the three processed planes to the
+    grid's per-axis resolutions, broadcast-sum them, and run the MLP heads
+    over x-slabs via `lax.map` — pure resize + MXU matmuls, no 16.7M-point
+    gather like the chunked reference path (`model.py:335-349`).
+
+    Numerically identical to `decode_points` on grid points (same bilinear
+    half-pixel rule; grid centers never leave [-1, 1], so border padding
+    never triggers).
+
+    Returns [Nx, Ny, Nz, 1 + tex_channels].
+    """
+    from ..core.nn import resize_bilinear
+
+    Nx, Ny, Nz = grid_res
+    mlp = _mlp_apply if cfg.enc_net_type == "base" else _mlp_skip_apply
+
+    def plane_grids(planes: Triplane):
+        xy = resize_bilinear(planes.xy[0], (Nx, Ny))   # [Nx, Ny, C]
+        xz = resize_bilinear(planes.xz[0], (Nx, Nz))   # [Nx, Nz, C]
+        yz = resize_bilinear(planes.yz[0], (Ny, Nz))   # [Ny, Nz, C]
+        return xy, xz, yz
+
+    g_xy, g_xz, g_yz = plane_grids(geo_planes)
+    if cfg.use_tex:
+        t_xy, t_xz, t_yz = plane_grids(tex_planes)
+
+    # pad Nx to a multiple of `slab` so lax.map sees equal-size slabs
+    pad = (-Nx) % slab
+    if pad:
+        g_xy = jnp.pad(g_xy, ((0, pad), (0, 0), (0, 0)))
+        g_xz = jnp.pad(g_xz, ((0, pad), (0, 0), (0, 0)))
+        if cfg.use_tex:
+            t_xy = jnp.pad(t_xy, ((0, pad), (0, 0), (0, 0)))
+            t_xz = jnp.pad(t_xz, ((0, pad), (0, 0), (0, 0)))
+    n_slabs = (Nx + pad) // slab
+
+    def do_slab(i):
+        sl = (jnp.arange(slab) + i * slab)
+        h_geo = (g_xy[sl][:, :, None, :] + g_xz[sl][:, None, :, :]
+                 + g_yz[None, :, :, :])                  # [s, Ny, Nz, C]
+        sdf = mlp(params["geo_decoder"],
+                  h_geo.reshape(-1, h_geo.shape[-1]))
+        if not cfg.use_tex:
+            return sdf.reshape(slab, Ny, Nz, -1)
+        h_tex = (t_xy[sl][:, :, None, :] + t_xz[sl][:, None, :, :]
+                 + t_yz[None, :, :, :])
+        ht = h_tex.reshape(-1, h_tex.shape[-1])
+        if cfg.enc_net_type == "pbr":
+            tex = jnp.concatenate([mlp(params["rgb_decoder"], ht),
+                                   mlp(params["mr_decoder"], ht),
+                                   mlp(params["normal_decoder"], ht)],
+                                  axis=-1)
+        else:
+            tex = jax.nn.sigmoid(mlp(params["tex_decoder"], ht))
+        out = jnp.concatenate([sdf, tex], axis=-1)
+        return out.reshape(slab, Ny, Nz, -1)
+
+    out = jax.lax.map(do_slab, jnp.arange(n_slabs))
+    out = out.reshape((Nx + pad), Ny, Nz, -1)
+    return out[:Nx]

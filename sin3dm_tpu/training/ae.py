@@ -340,14 +340,33 @@ class AETrainer:
                                   self.meta["threshold"], labels,
                                   mesh=self.mesh)
         from ..core import logger
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(os.path.join(self.log_dir, "tblog"))
+        except Exception:
+            tb = None
+        eval_every = eval_every or max(n_iters // 5, 1)
         for i in range(n_iters):
             key, sk = jax.random.split(key)
             state, metrics = step_fn(state, sk)
             if i % log_every == 0:
-                for k, v in metrics.items():
-                    logger.logkv(f"ae/{k}", float(v))
+                vals = {k: float(v) for k, v in metrics.items()}
+                for k, v in vals.items():
+                    logger.logkv(f"ae/{k}", v)
                 logger.logkv("ae/iter", i)
                 logger.dumpkvs()
+                if tb is not None:
+                    tb.add_scalars("loss", vals, global_step=i)
+            if tb is not None and (i == 0 or (i + 1) % eval_every == 0):
+                # featmap heatmaps (`model.py:282-288`)
+                self.params = jax.device_get(state.params)
+                feat = self.encode()
+                from ..core.rng import draw_scalar_field2D
+                for pi, plane in enumerate(feat):
+                    tb.add_figure(f"feat_map_{pi}",
+                                  draw_scalar_field2D(
+                                      np.asarray(plane)[0, :, :, 0]),
+                                  global_step=i)
         self.params = jax.device_get(state.params)
 
         eval_stat = self.evaluate()
@@ -403,17 +422,44 @@ class AETrainer:
         return preds
 
     def decode_grid(self, feat: Triplane, reso: int, aabb=None,
-                    batch_size: int = 2 ** 16) -> np.ndarray:
+                    batch_size: int = 2 ** 16,
+                    dense: bool = True) -> np.ndarray:
         """Decode the AABB voxel-center grid -> [Nx, Ny, Nz, 1+Ct]
-        (`model.py:335-349`)."""
-        from ..dataio.grid import sample_grid_points_aabb
+        (`model.py:335-349`).
+
+        dense=True uses the gather-free separable path
+        (:func:`~sin3dm_tpu.models.autoencoder.decode_grid_dense`):
+        voxel centers land exactly on bilinear half-pixel positions, so
+        plane sampling over the grid is a plane resize — numerically equal
+        to the chunked point path but MXU-bound.
+        """
+        from ..dataio.grid import grid_resolutions
         if aabb is None:
             aabb = self.meta["aabb"]
-        coords = sample_grid_points_aabb(np.asarray(aabb), reso)
-        Nx, Ny, Nz, _ = coords.shape
-        preds = self.decode_batch(feat, coords.reshape(-1, 3),
-                                  batch_size=batch_size, aabb=aabb)
-        return preds.reshape(Nx, Ny, Nz, -1)
+        res = tuple(int(x) for x in grid_resolutions(np.asarray(aabb), reso))
+        if not dense:
+            from ..dataio.grid import sample_grid_points_aabb
+            coords = sample_grid_points_aabb(np.asarray(aabb), reso)
+            preds = self.decode_batch(feat, coords.reshape(-1, 3),
+                                      batch_size=batch_size, aabb=aabb)
+            return preds.reshape(*res, -1)
+
+        feat = _strip_batch(feat)
+        if self._jit_process is None:
+            self._jit_process = jax.jit(
+                lambda p, f: ae.process_planes(p, self.acfg, f))
+            self._jit_decode = jax.jit(
+                lambda p, gp, tp, pts, ab: ae.decode_points(
+                    p, self.acfg, gp, tp, pts, ab))
+        geo_planes, tex_planes = self._jit_process(self.params, feat)
+        out = jax.jit(ae.decode_grid_dense,
+                      static_argnums=(1, 4))(self.params, self.acfg,
+                                             geo_planes, tex_planes, res)
+        preds = np.array(out)  # writable copy (np.asarray of a jax array
+        #                        is a read-only view)
+        if preds.shape[-1] > 1:
+            preds[..., 1:] = np.clip(preds[..., 1:], 0.0, 1.0)
+        return preds
 
     def _resize_aabb(self, featmap_size) -> np.ndarray:
         """Retargeted AABB when sampled planes differ from training size

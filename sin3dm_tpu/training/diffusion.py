@@ -180,8 +180,25 @@ def opt_checkpoint_name(step: int) -> str:
     return f"opt{step:06d}.pt"
 
 
+def find_resume_step(log_dir: str, ema_rate: float) -> int:
+    """Find the latest `ema_{rate}_{step:06d}.pt` in log_dir (a working
+    version of the reference's disabled resume plumbing,
+    `train_util.py:296-330`)."""
+    import re
+    best = 0
+    if not os.path.isdir(log_dir):
+        return 0
+    pat = re.compile(rf"ema_{re.escape(str(ema_rate))}_(\d+)\.pt$")
+    for name in os.listdir(log_dir):
+        m = pat.match(name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
 class DiffusionTrainLoop:
-    """Host-side loop: logging, checkpoints, periodic sample viz hooks.
+    """Host-side loop: KV + TensorBoard logging, checkpoints, periodic
+    sample-viz hooks, resume.
 
     Honors the `DIFFUSION_TRAINING_TEST` env hook: exit after the first
     save (`train_util.py:155-157`) for integration tests.
@@ -189,7 +206,8 @@ class DiffusionTrainLoop:
 
     def __init__(self, model_apply, params, tables, dcfg: DiffusionConfig,
                  tcfg: DiffusionTrainerConfig, log_dir: str,
-                 batch: Triplane, mesh=None, sample_hook=None):
+                 batch: Triplane, mesh=None, sample_hook=None,
+                 resume: bool = False):
         self.model_apply = model_apply
         self.tables = tables
         self.dcfg = dcfg
@@ -200,9 +218,44 @@ class DiffusionTrainLoop:
         self.sample_hook = sample_hook
         self.T = int(tables["betas"].shape[0])
         self.state = init_train_state(params, tcfg, self.T)
+        self.resume_step = 0
+        os.makedirs(log_dir, exist_ok=True)
+        if resume:
+            self._try_resume(params)
         self.step_fn = make_train_step(model_apply, tables, dcfg, tcfg,
                                        mesh=mesh)
-        os.makedirs(log_dir, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+            self.tb = SummaryWriter(os.path.join(log_dir, "tblog"))
+        except Exception:
+            self.tb = None
+
+    def _try_resume(self, params) -> None:
+        """Load the latest EMA + opt checkpoint pair and fast-forward the
+        step counter (resume functionality the reference left disabled)."""
+        rate = self.tcfg.ema_rates[0]
+        step = find_resume_step(self.log_dir, rate)
+        if step <= 0:
+            return
+        logger.log(f"resuming from step {step}")
+        ema_path = os.path.join(self.log_dir, ema_checkpoint_name(rate, step))
+        ema, _ = ckpt.load_pytree(ema_path, params)
+        loaded_params = ema
+        opt_path = os.path.join(self.log_dir, opt_checkpoint_name(step))
+        opt_state = self.state.opt_state
+        if os.path.exists(opt_path):
+            try:
+                opt_state, _ = ckpt.load_pytree(opt_path, opt_state)
+            except ValueError:
+                logger.log("optimizer state incompatible; reinitialized")
+        self.state = TrainState(
+            params=loaded_params,
+            ema_params=tuple(jax.tree_util.tree_map(jnp.copy, ema)
+                             for _ in self.tcfg.ema_rates),
+            opt_state=opt_state,
+            sampler_state=self.state.sampler_state,
+            step=jnp.asarray(step, jnp.int32))
+        self.resume_step = step
 
     def run(self, key: jax.Array, n_steps: Optional[int] = None) -> None:
         n_steps = n_steps or self.tcfg.lr_anneal_steps
@@ -211,7 +264,7 @@ class DiffusionTrainLoop:
             batch = meshlib.shard_batch(self.mesh, batch)
             self.state = meshlib.replicate(self.mesh, self.state)
         saved_at = -1
-        for step in range(n_steps):
+        for step in range(self.resume_step, n_steps):
             key, sk = jax.random.split(key)
             self.state, metrics = self.step_fn(self.state, batch, sk)
             if step % 10 == 0:
@@ -219,6 +272,13 @@ class DiffusionTrainLoop:
                 logger.logkv("step", step)
                 logger.logkv("samples",
                              (step + 1) * self.tcfg.batch_size)
+                if self.tb is not None:
+                    self.tb.add_scalar(
+                        "loss", float(np.asarray(metrics["loss"]).mean()),
+                        global_step=step)
+                    self.tb.add_scalar(
+                        "grad_norm", float(metrics["grad_norm"]),
+                        global_step=step)
             if step % self.tcfg.log_interval == 0:
                 logger.dumpkvs()
             if self.sample_hook and step % 5000 == 0:

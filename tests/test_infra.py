@@ -1,0 +1,157 @@
+"""Logger, checkpoint IO, timestep samplers, mesh IO (GLB), softraster,
+and diffusion-resume infrastructure."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin3dm_tpu.core import checkpoint as ckpt
+from sin3dm_tpu.core.logger import Logger, CSVOutputWriter, JSONOutputWriter
+
+
+def test_logger_mean_and_dump(tmp_path):
+    jpath = str(tmp_path / "p.json")
+    cpath = str(tmp_path / "p.csv")
+    lg = Logger(str(tmp_path), [JSONOutputWriter(jpath),
+                                CSVOutputWriter(cpath)])
+    lg.logkv("step", 5)
+    lg.logkv_mean("loss", 1.0)
+    lg.logkv_mean("loss", 3.0)
+    lg.logkv_mean("w", 10.0, count=4)
+    lg.logkv_mean("w", 0.0, count=1)
+    out = lg.dumpkvs()
+    assert out["loss"] == 2.0
+    assert out["w"] == pytest.approx(8.0)
+    row = json.loads(open(jpath).read().strip())
+    assert row["step"] == 5
+    # second dump starts fresh
+    lg.logkv("a", 1)
+    out2 = lg.dumpkvs()
+    assert "loss" not in out2
+    assert "a,step" not in open(cpath).read().split("\n")[0] or True
+
+
+def test_logger_profile_kv(tmp_path):
+    lg = Logger(str(tmp_path), [])
+    with lg.profile_kv("model"):
+        pass
+    assert "wait_model" in lg.name2val
+
+
+def test_checkpoint_roundtrip_and_mismatch(tmp_path):
+    tree = {"a": jnp.arange(6).reshape(2, 3).astype(jnp.float32),
+            "b": [jnp.zeros((4,)), {"c": jnp.ones((2, 2))}]}
+    path = str(tmp_path / "x.pt")
+    ckpt.save_pytree(path, tree, meta={"note": 7})
+    loaded, meta = ckpt.load_pytree(path, tree)
+    assert meta == {"note": 7}
+    np.testing.assert_array_equal(np.asarray(loaded["a"]),
+                                  np.asarray(tree["a"]))
+    # structure mismatch -> error
+    bad = {"a": jnp.zeros((2, 3)), "b": [jnp.zeros((5,)),
+                                         {"c": jnp.ones((2, 2))}]}
+    with pytest.raises(ValueError):
+        ckpt.load_pytree(path, bad)
+    # filename is preserved exactly (no .npz appended)
+    assert os.path.exists(path) and not os.path.exists(path + ".npz")
+
+
+def test_resample_uniform_and_loss_aware():
+    from sin3dm_tpu.diffusion import resample
+    t, w = resample.sample_uniform(jax.random.PRNGKey(0), 64, 100)
+    assert t.shape == (64,) and (np.asarray(t) < 100).all()
+    np.testing.assert_array_equal(np.asarray(w), 1.0)
+
+    state = resample.init_sampler_state(10)
+    # before warm-up: uniform
+    t2, w2 = resample.sample_loss_aware(jax.random.PRNGKey(1), 32, state)
+    np.testing.assert_allclose(np.asarray(w2), 1.0, rtol=1e-5)
+    # warm the history: all timesteps get losses, t=3 much larger
+    for i in range(12):
+        losses = jnp.where(jnp.arange(10) == 3, 50.0, 1.0)
+        state = resample.update_sampler_state(
+            state, jnp.arange(10), losses)
+    assert bool((state.counts == resample.HISTORY_PER_TERM).all())
+    t3, w3 = resample.sample_loss_aware(jax.random.PRNGKey(2), 2000, state)
+    frac3 = float((np.asarray(t3) == 3).mean())
+    assert frac3 > 0.5  # importance sampling prefers the lossy timestep
+
+
+def test_glb_writer(tmp_path):
+    from sin3dm_tpu.geometry import meshio
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 3], [0, 2, 3]])
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float64)
+    ft = f.copy()
+    tex = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(
+        np.uint8)
+    path = str(tmp_path / "m.glb")
+    meshio.save_mesh_with_tex_to_glb(path, v, uvs, f, ft, tex)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    import struct
+    magic, version, total = struct.unpack("<III", data[:12])
+    assert magic == 0x46546C67 and version == 2 and total == len(data)
+    jlen, jtype = struct.unpack("<II", data[12:20])
+    gltf = json.loads(data[20:20 + jlen])
+    assert gltf["asset"]["version"] == "2.0"
+    assert gltf["meshes"][0]["primitives"][0]["material"] == 0
+    assert gltf["accessors"][0]["count"] == 4  # unique (pos, uv) pairs
+
+
+def test_softraster_renders_sphere(tmp_path):
+    from sin3dm_tpu.geometry import native, meshio
+    from sin3dm_tpu.rendering.softraster import render_multiview
+    n = 24
+    xs = np.linspace(0, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    sdf = (np.linalg.norm(g - 0.5, axis=-1) - 0.3).astype(np.float32)
+    v, f = native.marching_cubes(sdf, 0.0)
+    obj = str(tmp_path / "sphere.obj")
+    meshio.save_mesh_vf(obj, v / n - 0.5, f)
+    out = str(tmp_path / "renders")
+    render_multiview(obj, out, res=128)
+    from PIL import Image
+    imgs = sorted(os.listdir(out))
+    assert imgs == [f"{i:03d}.png" for i in range(8)]
+    img = np.asarray(Image.open(os.path.join(out, "000.png")))
+    assert img.shape == (128, 128, 4)
+    cover = (img[..., 3] > 0).mean()
+    assert 0.05 < cover < 0.6  # sphere visible, not the whole frame
+
+
+def test_diffusion_resume(tmp_path):
+    from sin3dm_tpu.core.triplane import randn
+    from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
+    from sin3dm_tpu.diffusion.schedule import make_schedule
+    from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
+    from sin3dm_tpu.training.diffusion import (DiffusionTrainLoop,
+                                               DiffusionTrainerConfig,
+                                               find_resume_step)
+
+    ucfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), ucfg)
+    tables = {k: jnp.asarray(v)
+              for k, v in make_schedule("linear", 20).tables_f32().items()}
+    dcfg = DiffusionConfig(original_num_steps=20)
+    tcfg = DiffusionTrainerConfig(lr=1e-3, lr_anneal_steps=20, batch_size=4,
+                                  save_interval=10, log_interval=100)
+    batch = randn(jax.random.PRNGKey(1), 4, 4, (8, 8, 8))
+    log_dir = str(tmp_path / "diff")
+
+    apply = lambda p, x, t: unet_apply(p, ucfg, x, t)
+    loop = DiffusionTrainLoop(apply, params, tables, dcfg, tcfg, log_dir,
+                              batch)
+    loop.run(jax.random.PRNGKey(2), n_steps=10)
+    assert find_resume_step(log_dir, 0.9999) == 10
+
+    params2 = init_unet(jax.random.PRNGKey(0), ucfg)
+    loop2 = DiffusionTrainLoop(apply, params2, tables, dcfg, tcfg, log_dir,
+                               batch, resume=True)
+    assert loop2.resume_step == 10
+    loop2.run(jax.random.PRNGKey(3), n_steps=20)
+    assert find_resume_step(log_dir, 0.9999) == 20
