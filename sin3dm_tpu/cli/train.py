@@ -79,6 +79,10 @@ def train_diffusion(args):
         params, tables, dcfg, tcfg, log_dir, batch, mesh=dev_mesh,
         sample_hook=_make_sample_viz_hook(ucfg, feat.sizes),
         resume=bool(getattr(args, "resume", 0)))
+    if getattr(args, "profile", 0):
+        from ..core.profiling import maybe_trace
+        with maybe_trace(os.path.join(log_dir, "profile"), True):
+            loop.run(jax.random.PRNGKey(1), n_steps=loop.resume_step + 50)
     loop.run(jax.random.PRNGKey(1))
 
 

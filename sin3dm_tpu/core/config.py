@@ -117,6 +117,12 @@ def add_diffusion_training_options(parser) -> None:
     g.add_argument("--resume", type=int, default=0,
                    help="resume diffusion training from the latest EMA/opt "
                         "checkpoint in the log dir")
+    g.add_argument("--profile", type=int, default=0,
+                   help="capture a jax profiler trace of the first 50 "
+                        "diffusion steps into the log dir")
+    g.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse K train steps per device dispatch (lax.scan) "
+                        "to amortize launch latency")
     _add_dict(g, diffusion_defaults())
     _add_dict(g, diffusion_model_defaults())
 
@@ -248,7 +254,8 @@ def ae_config_from_args(args):
         fdim_tex=args.fdim_tex,
         fdim_up=args.fdim_up,
         hidden_dim=args.hidden_dim,
-        n_hidden_layers=args.n_hidden_layers)
+        n_hidden_layers=args.n_hidden_layers,
+        posenc=getattr(args, "posenc", 0))
 
 
 def ae_trainer_config_from_args(args):
@@ -327,4 +334,5 @@ def diffusion_trainer_config_from_args(args):
         batch_size=args.diff_batch_size,
         schedule_sampler=args.schedule_sampler,
         log_interval=args.log_interval,
-        save_interval=args.save_interval)
+        save_interval=args.save_interval,
+        steps_per_call=getattr(args, "steps_per_call", 1))

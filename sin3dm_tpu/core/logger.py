@@ -80,6 +80,11 @@ class CSVOutputWriter(KVWriter):
         extra = sorted(k for k in kvs.keys() if k not in self.keys)
         self.keys.extend(extra)
         self.rows.append(dict(kvs))
+        d = os.path.dirname(self.filename)
+        if d:
+            # the configured log dir may have been removed (e.g. a tmp dir
+            # from a prior run) — recreate rather than crash the train loop
+            os.makedirs(d, exist_ok=True)
         with open(self.filename, "wt", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self.keys)
             writer.writeheader()

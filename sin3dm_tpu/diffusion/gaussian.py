@@ -182,16 +182,46 @@ def p_mean_variance(model: ModelFn, tables, cfg: DiffusionConfig,
     return PMeanVar(mean=mean, log_variance=log_var, pred_xstart=pred_xstart)
 
 
+def condition_mean(cond_fn, tables, cfg: DiffusionConfig, out: PMeanVar,
+                   x: Triplane, t: jax.Array) -> Triplane:
+    """Shift the posterior mean by variance * grad log p(y|x)
+    (Sohl-Dickstein conditioning, `gaussian_diffusion.py:357-370`).
+    cond_fn: (x, t_model) -> Triplane gradient."""
+    grad = cond_fn(x, model_timesteps(tables, cfg, t))
+    var = out.log_variance.map(jnp.exp)
+    return out.mean + var * grad
+
+
+def condition_score(cond_fn, tables, cfg: DiffusionConfig, out: PMeanVar,
+                    x: Triplane, t: jax.Array) -> PMeanVar:
+    """Score-based conditioning (Song et al.,
+    `gaussian_diffusion.py:372-394`): shift eps by -sqrt(1-a_bar) * grad,
+    recompute pred_xstart and the posterior mean."""
+    alpha_bar = extract(tables, "alphas_cumprod", t, x)
+    eps = predict_eps_from_xstart(tables, x, t, out.pred_xstart)
+    grad = cond_fn(x, model_timesteps(tables, cfg, t))
+    shift = alpha_bar.map(lambda a: jnp.sqrt(1 - a)) * grad
+    eps = eps - shift
+    pred_xstart = predict_xstart_from_eps(tables, x, t, eps)
+    mean = q_posterior_mean(tables, pred_xstart, x, t)
+    return PMeanVar(mean=mean, log_variance=out.log_variance,
+                    pred_xstart=pred_xstart)
+
+
 def p_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
                   x: Triplane, t: jax.Array, key: jax.Array,
-                  clip_denoised: bool = True) -> Triplane:
+                  clip_denoised: bool = True,
+                  cond_fn=None) -> Triplane:
     """One ancestral sampling step (`gaussian_diffusion.py:396-440`)."""
     out = p_mean_variance(model, tables, cfg, x, t, clip_denoised)
     noise = randn_like(key, x)
     nz = (t != 0).astype(x.dtype)
     nzt = Triplane(_bcast(nz, x.xy), _bcast(nz, x.xz), _bcast(nz, x.yz))
+    mean = out.mean
+    if cond_fn is not None:
+        mean = condition_mean(cond_fn, tables, cfg, out, x, t)
     sigma = out.log_variance.map(lambda lv: jnp.exp(0.5 * lv))
-    return out.mean + nzt * sigma * noise
+    return mean + nzt * sigma * noise
 
 
 def ddim_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
@@ -199,10 +229,13 @@ def ddim_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
                      eta: float = 0.0, clip_denoised: bool = True,
                      y0: Optional[Triplane] = None,
                      mask: Optional[Triplane] = None,
-                     is_mask_t0: bool = False) -> Triplane:
+                     is_mask_t0: bool = False,
+                     cond_fn=None) -> Triplane:
     """One DDIM step, with optional mask-conditioned generation
-    (`gaussian_diffusion.py:538-600`)."""
+    (`gaussian_diffusion.py:538-600`) and optional score conditioning."""
     out = p_mean_variance(model, tables, cfg, x, t, clip_denoised)
+    if cond_fn is not None:
+        out = condition_score(cond_fn, tables, cfg, out, x, t)
     pred_xstart = out.pred_xstart
 
     nz = (t != 0).astype(x.dtype)
@@ -280,6 +313,85 @@ def training_losses(model: ModelFn, tables, cfg: DiffusionConfig,
     }
     terms["loss"] = terms["mse_xy"] + terms["mse_xz"] + terms["mse_yz"]
     return terms
+
+
+def _tri_mean_flat(t: Triplane) -> jax.Array:
+    """Per-example mean over all three planes' non-batch dims (the
+    triplane analog of mean_flat over the composed map, excluding the dead
+    zero block)."""
+    def mf_sum(a):
+        return jnp.sum(a, axis=tuple(range(1, a.ndim)))
+    total = mf_sum(t.xy) + mf_sum(t.xz) + mf_sum(t.yz)
+    count = t.xy[0].size + t.xz[0].size + t.yz[0].size
+    return total / count
+
+
+def vb_terms_bpd(model: ModelFn, tables, cfg: DiffusionConfig,
+                 x_start: Triplane, x_t: Triplane, t: jax.Array,
+                 clip_denoised: bool = True) -> Dict[str, object]:
+    """One variational-bound term in bits (`gaussian_diffusion.py:736-769`):
+    KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)), or the decoder NLL at t=0."""
+    true_mean = q_posterior_mean(tables, x_start, x_t, t)
+    true_logvar = extract(tables, "posterior_log_variance_clipped", t, x_t)
+    out = p_mean_variance(model, tables, cfg, x_t, t, clip_denoised)
+
+    kl = Triplane(*[normal_kl(tm, tl, m, lv) for tm, tl, m, lv in
+                    zip(true_mean, true_logvar, out.mean,
+                        out.log_variance)])
+    kl_flat = _tri_mean_flat(kl) / jnp.log(2.0)
+
+    nll = Triplane(*[
+        -discretized_gaussian_log_likelihood(xs, means=m,
+                                             log_scales=0.5 * lv)
+        for xs, m, lv in zip(x_start, out.mean, out.log_variance)])
+    nll_flat = _tri_mean_flat(nll) / jnp.log(2.0)
+
+    output = jnp.where(t == 0, nll_flat, kl_flat)
+    return {"output": output, "pred_xstart": out.pred_xstart}
+
+
+def prior_bpd(tables, x_start: Triplane) -> jax.Array:
+    """Prior KL term in bits-per-dim (`gaussian_diffusion.py:858-874`)."""
+    B = x_start.xy.shape[0]
+    T = tables["betas"].shape[0]
+    t = jnp.full((B,), T - 1, jnp.int32)
+    mean = extract(tables, "sqrt_alphas_cumprod", t, x_start) * x_start
+    logvar = extract(tables, "log_one_minus_alphas_cumprod", t, x_start)
+    kl = Triplane(*[normal_kl(m, lv, 0.0, 0.0)
+                    for m, lv in zip(mean, logvar)])
+    return _tri_mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(model: ModelFn, tables, cfg: DiffusionConfig,
+                  x_start: Triplane, key: jax.Array,
+                  clip_denoised: bool = True) -> Dict[str, jax.Array]:
+    """Full variational lower bound in bits-per-dim, scanned over all
+    timesteps (`gaussian_diffusion.py:876-931`).  Returns total_bpd,
+    prior_bpd, vb [B,T], xstart_mse [B,T], mse [B,T]."""
+    T = tables["betas"].shape[0]
+    B = x_start.xy.shape[0]
+
+    def body(carry, t_scalar):
+        k = jax.random.fold_in(key, t_scalar)
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        noise = randn_like(k, x_start)
+        x_t = q_sample(tables, x_start, t, noise)
+        out = vb_terms_bpd(model, tables, cfg, x_start, x_t, t,
+                           clip_denoised)
+        xs_mse = _tri_mean_flat(
+            (out["pred_xstart"] - x_start).map(lambda p: p ** 2))
+        eps = predict_eps_from_xstart(tables, x_t, t, out["pred_xstart"])
+        eps_mse = _tri_mean_flat((eps - noise).map(lambda p: p ** 2))
+        return carry, (out["output"], xs_mse, eps_mse)
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, None, ts)
+    vb = vb.T            # [B, T]
+    xstart_mse = xstart_mse.T
+    mse = mse.T
+    pb = prior_bpd(tables, x_start)
+    return {"total_bpd": vb.sum(axis=1) + pb, "prior_bpd": pb,
+            "vb": vb, "xstart_mse": xstart_mse, "mse": mse}
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,8 @@ class AEConfig(NamedTuple):
     fdim_up: int = 64
     hidden_dim: int = 256
     n_hidden_layers: int = 4
+    posenc: int = 0                    # NeRF posenc degrees (0 = off,
+    #                                    reference default; `blocks.py:46-50`)
     compute_dtype: Any = jnp.float32
 
     @property
@@ -55,6 +57,25 @@ class AEConfig(NamedTuple):
 # ---------------------------------------------------------------------------
 # MLP heads
 # ---------------------------------------------------------------------------
+
+def sinusoidal_encode(x: jax.Array, max_deg: int,
+                      use_identity: bool = True) -> jax.Array:
+    """NeRF positional encoding (`blocks.py:7-42`, min_deg=0): features
+    [x, sin(2^i x), cos(2^i x)] giving dim * (1 + 2*max_deg) outputs."""
+    if max_deg == 0:
+        return x
+    scales = jnp.asarray([2.0 ** i for i in range(max_deg)], x.dtype)
+    xb = (x[..., None, :] * scales[:, None]).reshape(
+        x.shape[:-1] + (max_deg * x.shape[-1],))
+    latent = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
+    if use_identity:
+        latent = jnp.concatenate([x, latent], axis=-1)
+    return latent
+
+
+def posenc_dim(cin: int, max_deg: int) -> int:
+    return cin if max_deg == 0 else cin * (1 + 2 * max_deg)
+
 
 def _mlp_init(key, cin, cout, hidden, n_hidden) -> Dict:
     """Plain MLP (`blocks.py:45-62`): Linear+ReLU x (1+n_hidden), Linear."""
@@ -177,21 +198,23 @@ def init_autoencoder(key: jax.Array, cfg: AEConfig) -> Dict:
     if cfg.use_tex:
         p["tex_encoder"] = nn.torch_conv_init(
             next(keys), (4, 4, 4, cfg.tex_channels + 1, cfg.fdim_tex))
+        # posenc applies to the texture heads only (`networks.py:147,251-253`)
+        tex_in = posenc_dim(cfg.fdim_up, cfg.posenc)
         if cfg.enc_net_type == "pbr":
             p["tex_convs"] = [
                 _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 3),
                 _group_block_init(next(keys), cfg.fdim_up, cfg.fdim_up, 3),
             ]
-            p["rgb_decoder"] = mlp_init(next(keys), cfg.fdim_up, 3,
+            p["rgb_decoder"] = mlp_init(next(keys), tex_in, 3,
                                         cfg.hidden_dim, cfg.n_hidden_layers)
-            p["mr_decoder"] = mlp_init(next(keys), cfg.fdim_up, 2,
+            p["mr_decoder"] = mlp_init(next(keys), tex_in, 2,
                                        cfg.hidden_dim, cfg.n_hidden_layers)
-            p["normal_decoder"] = mlp_init(next(keys), cfg.fdim_up, 3,
+            p["normal_decoder"] = mlp_init(next(keys), tex_in, 3,
                                            cfg.hidden_dim, cfg.n_hidden_layers)
         else:
             p["tex_convs"] = [
                 _group_block_init(next(keys), cfg.fdim_tex, cfg.fdim_up, 5)]
-            p["tex_decoder"] = mlp_init(next(keys), cfg.fdim_up,
+            p["tex_decoder"] = mlp_init(next(keys), tex_in,
                                         cfg.tex_channels,
                                         cfg.hidden_dim, cfg.n_hidden_layers)
     return p
@@ -267,6 +290,8 @@ def decode_points(params: Dict, cfg: AEConfig, geo_planes: Triplane,
         return sdf
     tp = tex_planes.map(lambda a: a[0])
     h_tex = sample_triplane_features(tp, x)
+    if cfg.posenc > 0:
+        h_tex = sinusoidal_encode(h_tex, cfg.posenc)
     if cfg.enc_net_type == "pbr":
         rgb = mlp(params["rgb_decoder"], h_tex)
         mr = mlp(params["mr_decoder"], h_tex)
@@ -341,6 +366,8 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
         h_tex = (t_xy[sl][:, :, None, :] + t_xz[sl][:, None, :, :]
                  + t_yz[None, :, :, :])
         ht = h_tex.reshape(-1, h_tex.shape[-1])
+        if cfg.posenc > 0:
+            ht = sinusoidal_encode(ht, cfg.posenc)
         if cfg.enc_net_type == "pbr":
             tex = jnp.concatenate([mlp(params["rgb_decoder"], ht),
                                    mlp(params["mr_decoder"], ht),

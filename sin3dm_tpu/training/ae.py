@@ -345,10 +345,12 @@ class AETrainer:
             tb = SummaryWriter(os.path.join(self.log_dir, "tblog"))
         except Exception:
             tb = None
+        from ..core.profiling import step_annotation
         eval_every = eval_every or max(n_iters // 5, 1)
         for i in range(n_iters):
             key, sk = jax.random.split(key)
-            state, metrics = step_fn(state, sk)
+            with step_annotation("ae_train", i):
+                state, metrics = step_fn(state, sk)
             if i % log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
@@ -407,6 +409,9 @@ class AETrainer:
 
         points = np.asarray(points, np.float32)
         N = points.shape[0]
+        if N == 0:
+            n_out = 1 + (self.acfg.tex_channels if self.acfg.use_tex else 0)
+            return np.zeros((0, n_out), np.float32)
         outs = []
         for i in range(0, N, batch_size):
             chunk = points[i:i + batch_size]
@@ -502,6 +507,14 @@ class AETrainer:
 
         v, f = meshproc.sdfgrid_to_mesh(sdf_grid,
                                         only_largest_cc=only_largest_cc)
+        if len(f) == 0:
+            # no zero crossing (e.g. an undertrained model) — emit an empty
+            # placeholder instead of crashing downstream
+            print(f"decode_texmesh: empty surface, writing empty mesh to "
+                  f"{save_dir}")
+            meshio.save_mesh_vf(os.path.join(save_dir, "object.obj"),
+                                np.zeros((0, 3)), np.zeros((0, 3), int))
+            return
         if save_highres_mesh:
             meshio.save_mesh_vf(
                 os.path.join(save_dir, f"mesh_r{reso}.obj"), v, f)

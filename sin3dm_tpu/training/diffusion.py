@@ -50,6 +50,10 @@ class DiffusionTrainerConfig:
     schedule_sampler: str = "uniform"   # uniform | loss-second-moment
     log_interval: int = 100
     save_interval: int = 25000
+    # fuse K optimizer steps into one dispatch via lax.scan — amortizes
+    # host->device launch latency (the single-shape batch is resident on
+    # device, so there is no data-loading reason to return to the host)
+    steps_per_call: int = 1
 
 
 def make_optimizer(cfg: DiffusionTrainerConfig) -> optax.GradientTransformation:
@@ -141,6 +145,25 @@ def make_train_step(model_apply, tables, dcfg: DiffusionConfig,
                                sampler_state=sampler_state,
                                step=state.step + 1)
         return new_state, metrics
+
+    if tcfg.steps_per_call > 1:
+        inner = step_fn
+
+        def step_fn(state: TrainState, batch: Triplane, key: jax.Array):
+            def body(st, i):
+                return inner(st, batch, jax.random.fold_in(key, i))
+
+            state, stacked = jax.lax.scan(
+                body, state, jnp.arange(tcfg.steps_per_call))
+            # expose the LAST step's scalars + all steps' per-example
+            # losses/t (flattened) for quartile logging
+            metrics = {}
+            for k, v in stacked.items():
+                if v.ndim >= 2:
+                    metrics[k] = v.reshape(-1)
+                else:
+                    metrics[k] = v[-1]
+            return state, metrics
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -263,27 +286,33 @@ class DiffusionTrainLoop:
         if self.mesh is not None:
             batch = meshlib.shard_batch(self.mesh, batch)
             self.state = meshlib.replicate(self.mesh, self.state)
+        from ..core.profiling import step_annotation
         saved_at = -1
-        for step in range(self.resume_step, n_steps):
+        K = max(self.tcfg.steps_per_call, 1)
+        step = self.resume_step
+        while step < n_steps:
             key, sk = jax.random.split(key)
-            self.state, metrics = self.step_fn(self.state, batch, sk)
-            if step % 10 == 0:
+            with step_annotation("diffusion_train", step):
+                self.state, metrics = self.step_fn(self.state, batch, sk)
+            last = step + K - 1            # index of the last fused step
+            if last % 10 < K:
                 quartile_log(metrics, self.T)
-                logger.logkv("step", step)
+                logger.logkv("step", last)
                 logger.logkv("samples",
-                             (step + 1) * self.tcfg.batch_size)
+                             (last + 1) * self.tcfg.batch_size)
                 if self.tb is not None:
                     self.tb.add_scalar(
                         "loss", float(np.asarray(metrics["loss"]).mean()),
-                        global_step=step)
+                        global_step=last)
                     self.tb.add_scalar(
                         "grad_norm", float(metrics["grad_norm"]),
-                        global_step=step)
-            if step % self.tcfg.log_interval == 0:
+                        global_step=last)
+            if last % self.tcfg.log_interval < K:
                 logger.dumpkvs()
-            if self.sample_hook and step % 5000 == 0:
+            if self.sample_hook and step % 5000 < K:
                 self.sample_hook(self, step)
-            if step > 0 and step % self.tcfg.save_interval == 0:
+            step += K
+            if step > 0 and step % self.tcfg.save_interval < K:
                 self.save(step)
                 saved_at = step
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):

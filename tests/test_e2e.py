@@ -1,0 +1,120 @@
+"""End-to-end integration: synthetic textured OBJ -> mesh_sampler ->
+train CLI (AE + diffusion, DIFFUSION_TRAINING_TEST-scale budgets) ->
+sample CLI (DDIM) -> decode -> softraster render -> eval metrics.
+
+This is the minimum slice of SURVEY.md §7 exercised through the real CLI
+entry points (in-process argv calls)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_cube_obj(path: str):
+    """Unit cube with uvs + a material (no texture image -> Kd fallback,
+    same as data/towerruins)."""
+    mtl = path.replace(".obj", ".mtl")
+    with open(mtl, "w") as f:
+        f.write("newmtl m0\nKd 0.8 0.3 0.2\nKa 0 0 0\nKs 0.4 0.4 0.4\n"
+                "Ns 10\n")
+    v = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+         (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    faces = [(0, 2, 1), (0, 3, 2), (4, 5, 6), (4, 6, 7),
+             (0, 1, 5), (0, 5, 4), (2, 3, 7), (2, 7, 6),
+             (0, 4, 7), (0, 7, 3), (1, 2, 6), (1, 6, 5)]
+    with open(path, "w") as f:
+        f.write(f"mtllib {os.path.basename(mtl)}\n")
+        for p in v:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        f.write("vt 0 0\nvt 1 0\nvt 1 1\n")
+        f.write("usemtl m0\n")
+        for a, b, c in faces:
+            f.write(f"f {a + 1}/1 {b + 1}/2 {c + 1}/3\n")
+
+
+@pytest.mark.slow
+def test_full_pipeline_cli(tmp_path, monkeypatch):
+    from sin3dm_tpu.dataio import mesh_sampler
+    from sin3dm_tpu.cli import sample as sample_cli
+    from sin3dm_tpu.cli import train as train_cli
+    from sin3dm_tpu.evaluation import eval_full
+    from sin3dm_tpu.rendering.softraster import render_multiview
+
+    monkeypatch.chdir(tmp_path)
+    obj = str(tmp_path / "mesh" / "model.obj")
+    os.makedirs(os.path.dirname(obj))
+    _write_cube_obj(obj)
+
+    npz = str(tmp_path / "cube.npz")
+    mesh_sampler.run(obj, npz, reso=24, n_surf=20000, watertight=True)
+    data = np.load(npz)
+    # the cube nearly fills the normalized box (enlarge_scale 1.03), so
+    # almost every voxel center is inside; near-surface points straddle it
+    assert (data["sdf_grid"] < 0).mean() > 0.5
+    signs = np.sign(data["sdf_near_surf"])
+    assert (signs > 0).any() and (signs < 0).any()
+    # cube fills most of the normalized box: near-surface tex = Kd
+    np.testing.assert_allclose(
+        data["tex_on_surf"].mean(axis=0), [0.8, 0.3, 0.2], atol=0.05)
+
+    tag = "exp"
+    train_cli.main([
+        "--tag", tag, "--data_path", npz, "--fm_reso", "16",
+        "--enc_n_iters", "60", "--enc_batch_size", "1024",
+        "--diff_n_iters", "30", "--diff_batch_size", "4",
+        "--save_interval", "30", "--log_interval", "50",
+        "--rec_reso", "24", "--n_devices", "1"])
+    assert os.path.exists(tag + "/encoding/ckpt_final.pth")
+    assert os.path.exists(tag + "/encoding/feat.npz")
+    assert os.path.exists(tag + "/diffusion/ema_0.9999_000030.pt")
+    assert os.path.exists(tag + "/encoding/rec/object.obj")
+
+    sample_cli.main([
+        "--tag", tag, "--n_samples", "2", "--use_ddim", "true",
+        "--timestep_respacing", "ddim10", "--reso", "24",
+        "--n_faces", "300", "--texreso", "64"])
+    for i in range(2):
+        d = f"{tag}/results/{i:03d}"
+        assert os.path.exists(os.path.join(d, "feat.npz"))
+        assert os.path.exists(os.path.join(d, "object.obj"))
+        assert os.path.exists(os.path.join(d, "voxel.npz"))
+        render_multiview(os.path.join(d, "object.obj"),
+                         os.path.join(d, "renderings"), res=64)
+
+    results = eval_full.main(["-s", f"{tag}/results", "-r", str(tmp_path)])
+    assert "LP_IOU" in results and "Div" in results
+    assert 0.0 <= results["LP_IOU"] <= 1.0
+    assert os.path.exists(f"{tag}/results/eval_results.json")
+
+
+@pytest.mark.slow
+def test_diffusion_training_test_env_hook(tmp_path, monkeypatch):
+    """DIFFUSION_TRAINING_TEST stops after the first save
+    (`train_util.py:155-157` behavior)."""
+    import jax
+    import jax.numpy as jnp
+    from sin3dm_tpu.core.triplane import randn
+    from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
+    from sin3dm_tpu.diffusion.schedule import make_schedule
+    from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
+    from sin3dm_tpu.training.diffusion import (DiffusionTrainLoop,
+                                               DiffusionTrainerConfig)
+
+    monkeypatch.setenv("DIFFUSION_TRAINING_TEST", "1")
+    ucfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), ucfg)
+    tables = {k: jnp.asarray(v)
+              for k, v in make_schedule("linear", 50).tables_f32().items()}
+    tcfg = DiffusionTrainerConfig(lr_anneal_steps=100, batch_size=2,
+                                  save_interval=5, log_interval=50)
+    batch = randn(jax.random.PRNGKey(1), 2, 4, (8, 8, 8))
+    loop = DiffusionTrainLoop(
+        lambda p, x, t: unet_apply(p, ucfg, x, t), params, tables,
+        DiffusionConfig(original_num_steps=50), tcfg,
+        str(tmp_path / "d"), batch)
+    loop.run(jax.random.PRNGKey(2), n_steps=100)
+    # stopped at the step-5 save; never reached step-10 save
+    assert os.path.exists(tmp_path / "d" / "ema_0.9999_000005.pt")
+    assert not os.path.exists(tmp_path / "d" / "ema_0.9999_000010.pt")
