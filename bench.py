@@ -43,52 +43,72 @@ def _quick_fit_sphere(acfg, sizes, n_steps: int = 200):
         return _quick_fit_sphere_impl(acfg, sizes, n_steps)
 
 
+def make_structured_triplane(key, channels, sizes, noise_scale=0.3):
+    """Triplane whose channel 0 carries quadratic radial ramps (so the sum
+    of the three plane gathers linearly encodes x^2+y^2+z^2 — a sphere SDF
+    is decodable) plus noise in every channel for texture realism."""
+    from sin3dm_tpu.core.triplane import Triplane, randn
+
+    H, W, D = sizes
+
+    def ramp(n1, n2):
+        a = jnp.linspace(-1, 1, n1)[:, None]
+        b = jnp.linspace(-1, 1, n2)[None, :]
+        return (a ** 2 + b ** 2) * 0.5 - 0.5  # in [-0.5, 0.5]
+
+    noise = randn(key, 1, channels, sizes).map(
+        lambda p: jnp.tanh(p) * noise_scale)
+    planes = []
+    for p, (n1, n2) in zip(noise, ((H, W), (H, D), (W, D))):
+        p = p.at[0, :, :, 0].add(ramp(n1, n2))
+        planes.append(jnp.clip(p, -1, 1))
+    return Triplane(*planes)
+
+
 def _quick_fit_sphere_impl(acfg, sizes, n_steps):
     import optax
-    from sin3dm_tpu.core.triplane import Triplane, randn
+    from sin3dm_tpu.core.gridsample import sample_triplane_features
     from sin3dm_tpu.models import autoencoder as ae
+    from sin3dm_tpu.models.autoencoder import _mlp_skip_apply
 
     params = ae.init_autoencoder(jax.random.PRNGKey(1), acfg)
-    aabb = jnp.array([-1, -1, -1, 1, 1, 1], jnp.float32)
+    # run the conv blocks ONCE on a few structured triplanes and fit only
+    # the geo MLP head on the gathered features — cheap on CPU; the head
+    # learns to read the radial ramp, so any structured triplane decodes
+    # to a sphere-like surface
+    gps = []
+    for s in range(4):
+        feat = make_structured_triplane(jax.random.PRNGKey(10 + s),
+                                        acfg.feat_channels, sizes)
+        gp, _ = jax.jit(ae.process_planes,
+                        static_argnums=(1,))(params, acfg, feat)
+        gps.append(gp.map(lambda a: a[0]))
+
+    head = params["geo_decoder"]
     opt = optax.adam(3e-3)
-    opt_state = opt.init(params)
+    opt_state = opt.init(head)
 
     @jax.jit
-    def step(params, opt_state, key):
-        fk, pk = jax.random.split(key)
-        # fresh random triplane each step -> the fitted head maps ANY
-        # triplane (e.g. samples from the untrained DDPM) to a sphere-ish
-        # SDF, so the decode workload is shape-realistic
-        feat = randn(fk, 1, acfg.feat_channels, sizes).map(jnp.tanh)
-        pts = jax.random.uniform(pk, (8192, 3), minval=-1, maxval=1)
+    def step(head, opt_state, key, gp):
+        pts = jax.random.uniform(key, (8192, 3), minval=-1, maxval=1)
         target = (jnp.linalg.norm(pts, axis=-1, keepdims=True) - 0.6)
-        target = jnp.clip(target, -0.05, 0.05)
+        target = jnp.clip(target, -0.12, 0.12)
+        h = sample_triplane_features(gp, pts)
 
-        def loss_fn(p):
-            gp, tp = ae.process_planes(p, acfg, feat)
-            pred = ae.decode_points(p, acfg, gp, tp, pts, aabb)
-            return jnp.mean((pred[:, :1] - target) ** 2)
+        def loss_fn(hd):
+            return jnp.mean((_mlp_skip_apply(hd, h) - target) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(head)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(head, updates), opt_state, loss
 
-    # fuse the whole fit into ONE dispatch (per-step dispatches through the
-    # tunneled TPU pay a large host RTT each)
-    @jax.jit
-    def fit(params, opt_state, key):
-        def body(carry, i):
-            params, opt_state = carry
-            sk = jax.random.fold_in(key, i)
-            params, opt_state, loss = step(params, opt_state, sk)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_steps))
-        return params, losses[-1]
-
-    params, loss = fit(params, opt_state, jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(3)
+    loss = None
+    for i in range(n_steps):
+        key, sk = jax.random.split(key)
+        head, opt_state, loss = step(head, opt_state, sk, gps[i % 4])
     log(f"quick-fit sphere decoder: final mse {float(loss):.5f}")
+    params["geo_decoder"] = head
     return jax.device_get(params)
 
 
@@ -135,12 +155,12 @@ def main():
     jax.block_until_ready(out)
     log(f"sampler compile+warmup: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    from sin3dm_tpu.core.triplane import randn as _warm_randn
-    warm = _warm_randn(jax.random.PRNGKey(99), 1, ucfg.in_channels,
-                       sizes).map(jnp.tanh)
+    warm = make_structured_triplane(jax.random.PRNGKey(99),
+                                    ucfg.in_channels, sizes)
     with tempfile.TemporaryDirectory() as d:
         trainer.decode_texmesh(d, warm, reso, n_faces=n_faces,
-                               texture_reso=texreso, save_voxel=False)
+                               texture_reso=texreso, save_voxel=False,
+                               verbose=True)
     log(f"decode compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     # ---- measured run: 4 samples + 4 mesh decodes
@@ -152,12 +172,12 @@ def main():
 
     # the untrained DDPM collapses toward zero planes (START_X + zero-init
     # out conv), which would give marching cubes an empty surface; decode
-    # tanh(noise) triplanes instead — the quick-fit head maps those to the
+    # structured triplanes instead — the fitted head maps those to a
     # sphere-like SDF, so the decode stage sees a realistic mesh workload
-    from sin3dm_tpu.core.triplane import randn as _randn
     decode_feats = [
-        _randn(jax.random.PRNGKey(100 + i), 1, ucfg.in_channels, sizes)
-        .map(jnp.tanh) for i in range(batch)]
+        make_structured_triplane(jax.random.PRNGKey(100 + i),
+                                 ucfg.in_channels, sizes)
+        for i in range(batch)]
 
     t_decode = 0.0
     for i in range(batch):
@@ -165,7 +185,8 @@ def main():
         t1 = time.perf_counter()
         with tempfile.TemporaryDirectory() as d:
             trainer.decode_texmesh(d, one, reso, n_faces=n_faces,
-                                   texture_reso=texreso, save_voxel=False)
+                                   texture_reso=texreso, save_voxel=False,
+                                   verbose=True)
         dt = time.perf_counter() - t1
         t_decode += dt
         log(f"decode[{i}] ({reso}^3 grid + MC + {n_faces} faces + "

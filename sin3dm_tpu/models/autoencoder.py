@@ -313,7 +313,7 @@ def forward(params: Dict, cfg: AEConfig, vol: jax.Array, pts: jax.Array,
 
 def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
                       tex_planes, grid_res: Tuple[int, int, int],
-                      slab: int = 8) -> jax.Array:
+                      slab: int = 8, geo_only: bool = False) -> jax.Array:
     """Dense AABB-grid decode WITHOUT gathers.
 
     Voxel centers of the AABB grid normalize to exactly the half-pixel
@@ -341,8 +341,9 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
         yz = resize_bilinear(planes.yz[0], (Ny, Nz))   # [Ny, Nz, C]
         return xy, xz, yz
 
+    use_tex = cfg.use_tex and not geo_only
     g_xy, g_xz, g_yz = plane_grids(geo_planes)
-    if cfg.use_tex:
+    if use_tex:
         t_xy, t_xz, t_yz = plane_grids(tex_planes)
 
     # pad Nx to a multiple of `slab` so lax.map sees equal-size slabs
@@ -350,7 +351,7 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
     if pad:
         g_xy = jnp.pad(g_xy, ((0, pad), (0, 0), (0, 0)))
         g_xz = jnp.pad(g_xz, ((0, pad), (0, 0), (0, 0)))
-        if cfg.use_tex:
+        if use_tex:
             t_xy = jnp.pad(t_xy, ((0, pad), (0, 0), (0, 0)))
             t_xz = jnp.pad(t_xz, ((0, pad), (0, 0), (0, 0)))
     n_slabs = (Nx + pad) // slab
@@ -361,7 +362,7 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
                  + g_yz[None, :, :, :])                  # [s, Ny, Nz, C]
         sdf = mlp(params["geo_decoder"],
                   h_geo.reshape(-1, h_geo.shape[-1]))
-        if not cfg.use_tex:
+        if not use_tex:
             return sdf.reshape(slab, Ny, Nz, -1)
         h_tex = (t_xy[sl][:, :, None, :] + t_xz[sl][:, None, :, :]
                  + t_yz[None, :, :, :])

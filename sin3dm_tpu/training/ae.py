@@ -428,7 +428,8 @@ class AETrainer:
 
     def decode_grid(self, feat: Triplane, reso: int, aabb=None,
                     batch_size: int = 2 ** 16,
-                    dense: bool = True) -> np.ndarray:
+                    dense: bool = True, geo_only: bool = False
+                    ) -> np.ndarray:
         """Decode the AABB voxel-center grid -> [Nx, Ny, Nz, 1+Ct]
         (`model.py:335-349`).
 
@@ -458,8 +459,9 @@ class AETrainer:
                     p, self.acfg, gp, tp, pts, ab))
         geo_planes, tex_planes = self._jit_process(self.params, feat)
         out = jax.jit(ae.decode_grid_dense,
-                      static_argnums=(1, 4))(self.params, self.acfg,
-                                             geo_planes, tex_planes, res)
+                      static_argnums=(1, 4, 5, 6))(
+            self.params, self.acfg, geo_planes, tex_planes, res, 8,
+            geo_only)
         preds = np.array(out)  # writable copy (np.asarray of a jax array
         #                        is a read-only view)
         if preds.shape[-1] > 1:
@@ -485,28 +487,43 @@ class AETrainer:
                        texture_reso: int = 2048, only_largest_cc: bool = True,
                        save_highres_mesh: bool = False,
                        save_voxel: bool = True, mtl_path=None,
-                       file_format: str = "obj") -> None:
+                       file_format: str = "obj",
+                       verbose: bool = False) -> None:
         """Full mesh-extraction pipeline (`model.py:362-473`): decode dense
         SDF grid -> marching cubes (largest CC) -> renormalize to AABB ->
         quadric decimation -> UV atlas + raster bake -> decode texels ->
         seam dilation -> obj/glb/pbr export."""
+        import time
         import cv2
         from ..geometry import meshio, meshproc, uvatlas
 
+        def tick(label, t0):
+            if verbose:
+                print(f"  [decode_texmesh] {label}: "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
+            return time.perf_counter()
+
+        t0 = time.perf_counter()
         feat = _strip_batch(feat, keep=True)
         H, W = feat.xy.shape[-3], feat.xy.shape[-2]
         D = feat.xz.shape[-2]
         new_aabb = self._resize_aabb((H, W, D))
 
         os.makedirs(save_dir, exist_ok=True)
-        grid = self.decode_grid(feat, reso, aabb=new_aabb)
+        # geometry stage only needs the SDF channel: geo_only skips the
+        # texture MLPs (2/3 of the FLOPs) and shrinks the device->host
+        # transfer 4x
+        grid = self.decode_grid(feat, reso, aabb=new_aabb, geo_only=True)
         sdf_grid = grid[..., 0]
+        t0 = tick(f"sdf grid {sdf_grid.shape}", t0)
         if save_voxel:
             np.savez_compressed(os.path.join(save_dir, "voxel.npz"),
                                 vox_grid=sdf_grid < 0)
+            t0 = tick("voxel.npz", t0)
 
         v, f = meshproc.sdfgrid_to_mesh(sdf_grid,
                                         only_largest_cc=only_largest_cc)
+        t0 = tick(f"marching cubes ({len(f)} tris)", t0)
         if len(f) == 0:
             # no zero crossing (e.g. an undertrained model) — emit an empty
             # placeholder instead of crashing downstream
@@ -525,6 +542,7 @@ class AETrainer:
         v = v / reso * box_size + box_min
 
         v, f = meshproc.mesh_decimation(v, f, n_faces)
+        t0 = tick(f"decimation ({len(f)} tris)", t0)
 
         if self.acfg.data_type == "sdf":
             np.savez_compressed(os.path.join(save_dir, f"sdfgrid_r{reso}.npz"),
@@ -543,9 +561,13 @@ class AETrainer:
 
         uvs, tex_idx, gb_pos, mask = uvatlas.uv_unwrap_and_rasterize(
             v, f, texture_reso)
+        t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels)", t0)
 
         texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
-        preds = self.decode_batch(feat, texels, aabb=new_aabb)
+        # big chunks: each decode_batch chunk is one device dispatch
+        preds = self.decode_batch(feat, texels, aabb=new_aabb,
+                                  batch_size=2 ** 20)
+        t0 = tick("texel decode", t0)
         n_tex_ch = preds.shape[-1] - 1
         tex_img = np.zeros((texture_reso, texture_reso, n_tex_ch), np.float32)
         tex_img[mask] = np.clip(preds[..., 1:], 0, 1)
@@ -560,6 +582,7 @@ class AETrainer:
         tex_img = tex_img * m + dilate_img * (1 - m)
         tex_img = np.clip(tex_img, 0, 255).astype(np.uint8)
         tex_img = tex_img[::-1]  # flip: texture row 0 = top (v = 1)
+        t0 = tick("texture assembly", t0)
 
         if self.acfg.data_type == "sdftex":
             if file_format == "obj":
