@@ -51,14 +51,14 @@ def bench_ae(sizes=(128, 128, 88), n_pts=65536, iters=30,
     step = ae_train.make_train_step(acfg, tcfg, data, 0.0234, labels)
 
     t0 = time.perf_counter()
-    state, m = step(state, jax.random.PRNGKey(1))
+    state, m = step(state, data, jax.random.PRNGKey(1))
     jax.block_until_ready(m["loss"])
     print(f"AE step compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = step(state, jax.random.PRNGKey(2 + i))
+        state, m = step(state, data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(f"AE train step: {dt * 1000:.1f} ms  "

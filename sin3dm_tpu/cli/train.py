@@ -81,8 +81,10 @@ def train_diffusion(args):
         resume=bool(getattr(args, "resume", 0)))
     if getattr(args, "profile", 0):
         from ..core.profiling import maybe_trace
+        first = loop.resume_step + 50
         with maybe_trace(os.path.join(log_dir, "profile"), True):
-            loop.run(jax.random.PRNGKey(1), n_steps=loop.resume_step + 50)
+            loop.run(jax.random.PRNGKey(1), n_steps=first)
+        loop.resume_step = first  # continue where the traced chunk ended
     loop.run(jax.random.PRNGKey(1))
 
 

@@ -208,7 +208,15 @@ class AETrainState(NamedTuple):
 def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
                     data: AEData, threshold: float, param_labels: Dict,
                     mesh=None):
-    """Jitted AE train step. Returns step_fn(state, key) -> (state, metrics)."""
+    """Jitted AE train step.
+
+    Returns step_fn(state, data, key) -> (state, metrics).  `data` is an
+    explicit argument — NOT a closure capture: closed-over device arrays
+    get baked into the HLO as literal constants, ballooning the compile
+    payload by the full dataset size (hundreds of MB), which can kill
+    remote compile services outright.  The `data` passed at construction
+    is only used for static shape/ratio information.
+    """
     opt = make_optimizer(tcfg, param_labels)
     bs = tcfg.enc_batch_size
     n_grid = int(bs * tcfg.vol_ratio)
@@ -217,7 +225,7 @@ def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
     tex_thr = (1.0 * tcfg.tex_threshold_ratio if tcfg.sdf_renorm
                else threshold * tcfg.tex_threshold_ratio)
 
-    def sample_batch(key):
+    def sample_batch(data: AEData, key):
         kg, ks = jax.random.split(key)
         gi = jax.random.randint(kg, (n_grid,), 0, data.pts_grid.shape[0])
         si = jax.random.randint(ks, (n_surf,), 0,
@@ -230,7 +238,7 @@ def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
             return pts, sdf, tex
         return pts, sdf, None
 
-    def loss_fn(params, pts, gt_sdf, gt_tex):
+    def loss_fn(params, data, pts, gt_sdf, gt_tex):
         pred = ae.forward(params, acfg, data.input_grid, pts, data.aabb)
         pred_sdf = pred[..., :1]
         losses = {"sdf_loss": sdf_loss_fn(tcfg.sdf_loss, pred_sdf, gt_sdf)}
@@ -253,8 +261,8 @@ def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
         total = sum(losses.values())
         return total, losses
 
-    def step_fn(state: AETrainState, key: jax.Array):
-        pts, sdf, tex = sample_batch(key)
+    def step_fn(state: AETrainState, data: AEData, key: jax.Array):
+        pts, sdf, tex = sample_batch(data, key)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P("data"))
@@ -263,7 +271,7 @@ def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
             if tex is not None:
                 tex = jax.lax.with_sharding_constraint(tex, sh)
         (total, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, pts, sdf, tex)
+            loss_fn, has_aux=True)(state.params, data, pts, sdf, tex)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
@@ -350,7 +358,7 @@ class AETrainer:
         for i in range(n_iters):
             key, sk = jax.random.split(key)
             with step_annotation("ae_train", i):
-                state, metrics = step_fn(state, sk)
+                state, metrics = step_fn(state, self.data, sk)
             if i % log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
