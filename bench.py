@@ -179,18 +179,22 @@ def main():
                                  ucfg.in_channels, sizes)
         for i in range(batch)]
 
-    t_decode = 0.0
-    for i in range(batch):
-        one = decode_feats[i]
-        t1 = time.perf_counter()
+    # decode the 4 samples concurrently: CPU geometry (MC/decimate/UV/IO)
+    # of one sample overlaps the TPU work of another
+    from concurrent.futures import ThreadPoolExecutor
+
+    def decode_one(i):
         with tempfile.TemporaryDirectory() as d:
-            trainer.decode_texmesh(d, one, reso, n_faces=n_faces,
-                                   texture_reso=texreso, save_voxel=False,
-                                   verbose=True)
-        dt = time.perf_counter() - t1
-        t_decode += dt
-        log(f"decode[{i}] ({reso}^3 grid + MC + {n_faces} faces + "
-            f"{texreso}^2 bake): {dt:.2f}s")
+            trainer.decode_texmesh(d, decode_feats[i], reso,
+                                   n_faces=n_faces, texture_reso=texreso,
+                                   save_voxel=False)
+
+    t1 = time.perf_counter()
+    with ThreadPoolExecutor(batch) as pool:
+        list(pool.map(decode_one, range(batch)))
+    t_decode = time.perf_counter() - t1
+    log(f"decode x{batch} (concurrent; {reso}^3 grid + MC + {n_faces} "
+        f"faces + {texreso}^2 bake): {t_decode:.2f}s")
 
     elapsed = t_sample + t_decode
     log(f"total: {elapsed:.2f}s (sample {t_sample:.2f} + decode "

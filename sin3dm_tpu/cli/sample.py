@@ -82,23 +82,32 @@ def decode(args, paths):
                         cfgmod.ae_trainer_config_from_args(args))
     trainer.load_ckpt("final")
 
-    for path in paths:
+    mtl_path = None
+    if not args.vox and args.copy_mtl and args.data_path:
+        cands = glob.glob(os.path.join(
+            os.path.dirname(args.data_path), "mesh/*.mtl"))
+        mtl_path = cands[0] if cands else None
+
+    def decode_one(path):
         feat = load_triplane_npz(path)
         save_dir = os.path.dirname(path)
         if args.vox:
             trainer.decode_voxel(save_dir, feat, args.reso)
         else:
-            mtl_path = None
-            if args.copy_mtl and args.data_path:
-                cands = glob.glob(os.path.join(
-                    os.path.dirname(args.data_path), "mesh/*.mtl"))
-                mtl_path = cands[0] if cands else None
             trainer.decode_texmesh(save_dir, feat, args.reso,
                                    n_faces=args.n_faces,
                                    texture_reso=args.texreso,
                                    save_highres_mesh=False, n_surf_pc=-1,
                                    mtl_path=mtl_path,
                                    file_format=args.file_format)
+
+    # decode samples concurrently: the CPU geometry stages (MC, decimate,
+    # UV, export) of one sample overlap the device work of another; jax
+    # dispatch is thread-safe and serializes the TPU work
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(4, max(1, len(paths)))
+    with ThreadPoolExecutor(workers) as pool:
+        list(pool.map(decode_one, paths))
 
 
 def main(argv=None):

@@ -272,7 +272,8 @@ def ae_trainer_config_from_args(args):
         sdf_loss=args.sdf_loss,
         tex_loss=args.tex_loss,
         sdf_renorm=bool(args.sdf_renorm),
-        fm_reso=args.fm_reso)
+        fm_reso=args.fm_reso,
+        steps_per_call=getattr(args, "steps_per_call", 1))
 
 
 def unet_config_from_args(args):

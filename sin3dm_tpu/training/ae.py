@@ -43,6 +43,9 @@ class AETrainerConfig:
     tex_loss: str = "l1"               # l1 | l2 | huber
     sdf_renorm: bool = False
     fm_reso: int = 128
+    # fuse K iterations per dispatch (lax.scan) — amortizes host launch
+    # latency; the dataset is device-resident so nothing needs the host
+    steps_per_call: int = 1
 
 
 class AEData(NamedTuple):
@@ -278,6 +281,17 @@ def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
         metrics["loss"] = total
         return AETrainState(params, opt_state, state.step + 1), metrics
 
+    if tcfg.steps_per_call > 1:
+        inner = step_fn
+
+        def step_fn(state: AETrainState, data: AEData, key: jax.Array):
+            def body(st, i):
+                return inner(st, data, jax.random.fold_in(key, i))
+
+            state, stacked = jax.lax.scan(
+                body, state, jnp.arange(tcfg.steps_per_call))
+            return state, {k: v[-1] for k, v in stacked.items()}
+
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
@@ -355,7 +369,8 @@ class AETrainer:
             tb = None
         from ..core.profiling import step_annotation
         eval_every = eval_every or max(n_iters // 5, 1)
-        for i in range(n_iters):
+        K = max(self.tcfg.steps_per_call, 1)
+        for i in range(0, n_iters, K):
             key, sk = jax.random.split(key)
             with step_annotation("ae_train", i):
                 state, metrics = step_fn(state, self.data, sk)
