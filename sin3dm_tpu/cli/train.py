@@ -26,7 +26,8 @@ def train_ae(args, mesh=None):
     trainer = AETrainer(log_dir, cfgmod.ae_config_from_args(args),
                         cfgmod.ae_trainer_config_from_args(args), mesh=mesh)
     trainer.load_data(args.data_path)
-    trainer.train(jax.random.PRNGKey(0))
+    trainer.train(jax.random.PRNGKey(0),
+                  log_every=getattr(args, "log_interval", 100))
 
     feat = trainer.encode()
     print("feat maps shape:", [p.shape for p in feat])

@@ -1,0 +1,4 @@
+from . import gaussian, resample, sampling, schedule
+from .gaussian import DiffusionConfig, LossKind, MeanType, VarType
+from .sampling import ddim_sample_loop, make_jit_sampler, p_sample_loop
+from .schedule import DiffusionSchedule, make_schedule, space_timesteps

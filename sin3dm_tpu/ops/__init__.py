@@ -1,0 +1,1 @@
+from .fused_mlp import skip_mlp_fused, skip_mlp_reference

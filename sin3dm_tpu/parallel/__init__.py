@@ -1,0 +1,2 @@
+from .mesh import (batch_sharding, make_mesh, replicate, replicated,
+                   shard_batch)

@@ -289,13 +289,17 @@ class DiffusionTrainLoop:
         from ..core.profiling import step_annotation
         saved_at = -1
         K = max(self.tcfg.steps_per_call, 1)
+        # metric materialization forces a host sync (expensive through a
+        # high-RTT link); with fused steps, sample metrics at a coarser
+        # cadence tied to log_interval instead of the reference's every-10
+        metrics_every = max(10, K, self.tcfg.log_interval // 10)
         step = self.resume_step
         while step < n_steps:
             key, sk = jax.random.split(key)
             with step_annotation("diffusion_train", step):
                 self.state, metrics = self.step_fn(self.state, batch, sk)
             last = step + K - 1            # index of the last fused step
-            if last % 10 < K:
+            if last % metrics_every < K:
                 quartile_log(metrics, self.T)
                 logger.logkv("step", last)
                 logger.logkv("samples",
