@@ -155,9 +155,13 @@ def parametrize(v: np.ndarray, f: np.ndarray, padding: float = 0.004
 def uv_unwrap_and_rasterize(v: np.ndarray, f: np.ndarray, resolution: int):
     """Full xatlas_uvmap replacement (`utils3d.py:228-251`): parametrize,
     rasterize the UV charts at `resolution`, return
-    (uvs, mesh_tex_idx, gb_pos [R,R,3], mask [R,R])."""
+    (uvs, mesh_tex_idx, gb_pos [R,R,3], mask [R,R]).
+
+    Padding is resolution-aware (2 texels between charts): with hundreds
+    of charts, fixed padding eats most of the atlas and starves texel
+    density."""
     from . import native
-    uvs, tex_idx = parametrize(v, f)
+    uvs, tex_idx = parametrize(v, f, padding=max(2.0 / resolution, 5e-4))
     gb_pos, mask = native.rasterize_uv(
         uvs.astype(np.float32), tex_idx.astype(np.int32),
         v.astype(np.float32), f.astype(np.int32), resolution)

@@ -98,6 +98,7 @@ def load_ae_data(npz_path: str, cfg: AETrainerConfig,
     sdf_grid = np.asarray(data["sdf_grid"], np.float32)
     fm_size = compute_featmap_size(pts_grid.shape, cfg.fm_reso)
     meta["featmap_size"] = list(fm_size)
+    meta["grid_shape"] = list(pts_grid.shape[:3])
 
     use_tex = data_type != "sdf"
     if use_tex:
@@ -370,8 +371,12 @@ class AETrainer:
         from ..core.profiling import step_annotation
         eval_every = eval_every or max(n_iters // 5, 1)
         K = max(self.tcfg.steps_per_call, 1)
+        # host-constructed raw keys (see DiffusionTrainLoop.run): avoids a
+        # device dispatch per loop iteration for jax.random.split
+        base = int(np.asarray(jax.random.key_data(key) if hasattr(
+            jax.random, "key_data") else key).ravel()[-1])
         for i in range(0, n_iters, K):
-            key, sk = jax.random.split(key)
+            sk = jnp.asarray(np.array([base & 0xFFFFFFFF, i], np.uint32))
             with step_annotation("ae_train", i):
                 state, metrics = step_fn(state, self.data, sk)
             if i % log_every == 0:
@@ -648,14 +653,34 @@ class AETrainer:
     def evaluate(self) -> Dict[str, float]:
         feat = self.encode()
         thr = self.meta["threshold"]
-        pred = self.decode_batch(feat, np.asarray(self.data.pts_grid))[:, :1]
+        grid_shape = self.meta.get("grid_shape")
+        if grid_shape is not None:
+            # the training grid IS the aabb voxel-center grid, so the
+            # gather-free dense decode applies (one dispatch instead of
+            # hundreds of 2^16-point chunks)
+            feat_b = _strip_batch(feat)
+            if self._jit_process is None:
+                self._jit_process = jax.jit(
+                    lambda p, f: ae.process_planes(p, self.acfg, f))
+                self._jit_decode = jax.jit(
+                    lambda p, gp, tp, pts, ab: ae.decode_points(
+                        p, self.acfg, gp, tp, pts, ab))
+            gp, tp = self._jit_process(self.params, feat_b)
+            pred = np.array(jax.jit(ae.decode_grid_dense,
+                                    static_argnums=(1, 4, 5, 6))(
+                self.params, self.acfg, gp, tp, tuple(grid_shape), 8,
+                True)).reshape(-1, 1)
+        else:
+            pred = self.decode_batch(feat,
+                                     np.asarray(self.data.pts_grid))[:, :1]
         gt = np.asarray(self.data.sdf_grid)
         if self.tcfg.sdf_renorm:
             pred, gt = pred * thr, gt * thr
         stat = evaluate_tsdf_prediction(pred, gt, thr)
         if self.acfg.use_tex and self.data.pts_on_surf is not None:
             tex_pred = self.decode_batch(
-                feat, np.asarray(self.data.pts_on_surf))[:, 1:]
+                feat, np.asarray(self.data.pts_on_surf),
+                batch_size=2 ** 20)[:, 1:]
             stat["surf_tex_l1_error"] = float(
                 np.abs(tex_pred - np.asarray(self.data.tex_on_surf)).mean())
         return stat

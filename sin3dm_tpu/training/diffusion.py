@@ -293,9 +293,15 @@ class DiffusionTrainLoop:
         # high-RTT link); with fused steps, sample metrics at a coarser
         # cadence tied to log_interval instead of the reference's every-10
         metrics_every = max(10, K, self.tcfg.log_interval // 10)
+        # host-constructed raw keys: jax.random.split is a device dispatch
+        # per call, which dominates wall clock on high-latency links; any
+        # distinct uint32 pair is a valid threefry key
+        base = int(np.asarray(jax.random.key_data(key) if hasattr(
+            jax.random, "key_data") else key).ravel()[-1])
         step = self.resume_step
         while step < n_steps:
-            key, sk = jax.random.split(key)
+            sk = jnp.asarray(
+                np.array([base & 0xFFFFFFFF, step], np.uint32))
             with step_annotation("diffusion_train", step):
                 self.state, metrics = self.step_fn(self.state, batch, sk)
             last = step + K - 1            # index of the last fused step
