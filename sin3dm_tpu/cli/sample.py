@@ -59,7 +59,9 @@ def sample_diffusion(args):
     for i in range(0, args.n_samples, batch_size):
         bs = min(batch_size, args.n_samples - i)
         key, sk = jax.random.split(key)
-        samples = sampler(sk, bs, C, (H, W, D))
+        # always sample at the full batch size: a ragged final batch would
+        # recompile the whole 1000-step program; surplus rows are dropped
+        samples = sampler(sk, batch_size, C, (H, W, D))
         xy = np.asarray(samples.xy)
         xz = np.asarray(samples.xz)
         yz = np.asarray(samples.yz)

@@ -143,6 +143,8 @@ def add_sampling_options(parser) -> None:
     g.add_argument("--copy_mtl", type=str2bool, default=True)
     g.add_argument("--file_format", type=str, default="obj",
                    choices=["obj", "glb"])
+    g.add_argument("--seed", type=int, default=0,
+                   help="sampling PRNG seed")
 
 
 # ---------------------------------------------------------------------------

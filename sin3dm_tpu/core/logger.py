@@ -92,6 +92,26 @@ class CSVOutputWriter(KVWriter):
                 writer.writerow({k: row.get(k, "") for k in self.keys})
 
 
+class TensorBoardOutputWriter(KVWriter):
+    """KV dump -> TB scalars (the reference logger's tensorboard format,
+    `logger.py:160-204`); uses the dumped 'step' key as global_step."""
+
+    def __init__(self, log_dir: str):
+        from tensorboardX import SummaryWriter
+        self.writer = SummaryWriter(log_dir)
+        self.step = 0
+
+    def writekvs(self, kvs: Dict) -> None:
+        step = int(kvs.get("step", self.step))
+        for k, v in kvs.items():
+            if hasattr(v, "__float__"):
+                self.writer.add_scalar(k, float(v), global_step=step)
+        self.step = step + 1
+
+    def close(self) -> None:
+        self.writer.close()
+
+
 class Logger:
     def __init__(self, log_dir: Optional[str], writers: List[KVWriter]):
         self.log_dir = log_dir
@@ -168,6 +188,9 @@ def configure(dir: Optional[str] = None,
                 os.path.join(dir, "progress.json")))
         elif fmt == "csv":
             writers.append(CSVOutputWriter(os.path.join(dir, "progress.csv")))
+        elif fmt == "tensorboard":
+            writers.append(TensorBoardOutputWriter(
+                os.path.join(dir, "tb")))
         else:
             raise ValueError(f"unknown log format: {fmt}")
     _CURRENT = Logger(dir, writers)
