@@ -63,6 +63,9 @@ class AEData(NamedTuple):
     aabb: jax.Array              # [6]
 
 
+SHUFFLE_SEED = 12345
+
+
 def compute_featmap_size(grid_shape, fm_reso: int) -> Tuple[int, int, int]:
     """Per-axis featmap size scaled by grid extent, floored to even
     (`model.py:75-76`)."""
@@ -123,8 +126,10 @@ def load_ae_data(npz_path: str, cfg: AETrainerConfig,
     # shuffle the point tables ONCE on the host: the train step then draws
     # batches as contiguous random-offset slices (lax.dynamic_slice)
     # instead of 65k-row gathers — XLA lowers large-table gathers on TPU
-    # to serial loops (~100x slower than the slice)
-    shuf = np.random.default_rng(12345)
+    # to serial loops (~100x slower than the slice).  SHUFFLE_SEED is
+    # shared with AETrainer.evaluate, which regenerates the permutation to
+    # align dense (grid-ordered) predictions with the shuffled targets.
+    shuf = np.random.default_rng(SHUFFLE_SEED)
     grid_perm = shuf.permutation(sdf_grid_flat.shape[0])
     near_perm = shuf.permutation(pts_near.shape[0])
     pts_grid_flat = pts_grid.reshape(-1, 3)[grid_perm]
@@ -242,29 +247,41 @@ def make_train_step(acfg: ae.AEConfig, tcfg: AETrainerConfig,
     tex_thr = (1.0 * tcfg.tex_threshold_ratio if tcfg.sdf_renorm
                else threshold * tcfg.tex_threshold_ratio)
 
+    n_sub = 8  # independent sub-slices per batch to decorrelate windows
+
     def sample_batch(data: AEData, key):
-        """Contiguous random-offset slices from the pre-shuffled tables
-        (load_ae_data shuffles once).  A 65k-row random gather from
-        multi-million-row tables lowers to a serial loop on TPU — the
-        slice is ~100x faster with equivalent SGD statistics (sampling
-        without replacement within a batch)."""
+        """Contiguous random-offset sub-slices from the pre-shuffled
+        tables (load_ae_data shuffles once).  A 65k-row random gather from
+        multi-million-row tables lowers to a serial loop on TPU — slices
+        are ~100x faster; 8 independent windows per source keep the SGD
+        statistics close to iid sampling."""
         kg, ks = jax.random.split(key)
-        g0 = jax.random.randint(kg, (), 0,
-                                data.pts_grid.shape[0] - n_grid + 1)
-        s0 = jax.random.randint(ks, (), 0,
-                                data.pts_near_surf.shape[0] - n_surf + 1)
 
-        def sl(a, start, n):
-            return jax.lax.dynamic_slice_in_dim(a, start, n, axis=0)
+        def multi_slice(arrs, total, kk):
+            chunk = max(total // n_sub, 1)
+            sizes = [chunk] * (n_sub - 1) + [total - chunk * (n_sub - 1)]
+            n_rows = arrs[0].shape[0]
+            offs = jax.random.randint(kk, (n_sub,), 0,
+                                      n_rows - max(sizes) + 1)
+            outs = [[] for _ in arrs]
+            for j, sz in enumerate(sizes):
+                for a_i, a in enumerate(arrs):
+                    outs[a_i].append(jax.lax.dynamic_slice_in_dim(
+                        a, offs[j], sz, axis=0))
+            return [jnp.concatenate(o) for o in outs]
 
-        pts = jnp.concatenate([sl(data.pts_grid, g0, n_grid),
-                               sl(data.pts_near_surf, s0, n_surf)])
-        sdf = jnp.concatenate([sl(data.sdf_grid, g0, n_grid),
-                               sl(data.sdf_near_surf, s0, n_surf)])
+        g_arrs = [data.pts_grid, data.sdf_grid]
+        s_arrs = [data.pts_near_surf, data.sdf_near_surf]
         if use_tex:
-            tex = jnp.concatenate([sl(data.tex_grid, g0, n_grid),
-                                   sl(data.tex_near_surf, s0, n_surf)])
-            return pts, sdf, tex
+            g_arrs.append(data.tex_grid)
+            s_arrs.append(data.tex_near_surf)
+        g_out = multi_slice(g_arrs, n_grid, kg)
+        s_out = multi_slice(s_arrs, n_surf, ks)
+
+        pts = jnp.concatenate([g_out[0], s_out[0]])
+        sdf = jnp.concatenate([g_out[1], s_out[1]])
+        if use_tex:
+            return pts, sdf, jnp.concatenate([g_out[2], s_out[2]])
         return pts, sdf, None
 
     def loss_fn(params, data, pts, gt_sdf, gt_tex):
@@ -695,6 +712,10 @@ class AETrainer:
                                     static_argnums=(1, 4, 5, 6))(
                 self.params, self.acfg, gp, tp, tuple(grid_shape), 8,
                 True)).reshape(-1, 1)
+            # align with the shuffled ground-truth table (load_ae_data)
+            perm = np.random.default_rng(SHUFFLE_SEED).permutation(
+                pred.shape[0])
+            pred = pred[perm]
         else:
             pred = self.decode_batch(feat,
                                      np.asarray(self.data.pts_grid))[:, :1]
