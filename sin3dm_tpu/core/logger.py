@@ -229,3 +229,14 @@ def get_dir() -> Optional[str]:
 def profile_kv(name: str):
     with get_current().profile_kv(name):
         yield
+
+
+def profile(name: str):
+    """Decorator: accumulate the wrapped function's wall time under
+    `wait_{name}` (reference `logger.py:306-317`)."""
+    def decorator(fn):
+        def wrapped(*args, **kwargs):
+            with profile_kv(name):
+                return fn(*args, **kwargs)
+        return wrapped
+    return decorator

@@ -16,8 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..geometry import meshproc
-from .mesh_sampler import MeshSampler, run as run_base, sample_texture_bilinear
+from .mesh_sampler import MeshSampler, sample_texture_bilinear
 
 
 def _load_img(pattern: str) -> Optional[np.ndarray]:

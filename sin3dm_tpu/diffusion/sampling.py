@@ -11,7 +11,6 @@ recompile, then hits the jit cache).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

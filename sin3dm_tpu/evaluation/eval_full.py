@@ -21,8 +21,6 @@ import glob
 import json
 import os
 
-import numpy as np
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

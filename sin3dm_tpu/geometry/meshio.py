@@ -13,7 +13,7 @@ import io
 import json
 import os
 import struct
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

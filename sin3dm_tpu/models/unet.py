@@ -22,7 +22,7 @@ forward is one jitted function; optional bfloat16 compute for the torso
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

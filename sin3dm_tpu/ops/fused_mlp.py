@@ -18,7 +18,7 @@ kernel is golden-tested against it (tests/test_fused_mlp.py).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

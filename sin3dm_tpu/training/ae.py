@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -26,7 +26,6 @@ import optax
 from ..core import checkpoint as ckpt
 from ..core.triplane import Triplane
 from ..models import autoencoder as ae
-from ..parallel import mesh as meshlib
 
 
 @dataclass

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
