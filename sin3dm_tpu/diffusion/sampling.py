@@ -72,17 +72,31 @@ def ddim_sample_loop(model: ModelFn, tables, cfg: DiffusionConfig,
 
 def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
                      use_ddim: bool = False, eta: float = 0.0,
-                     clip_denoised: bool = True):
+                     clip_denoised: bool = True, mesh=None):
     """Return a jitted `sample(key, batch, channels, sizes) -> Triplane`.
 
     batch/channels/sizes are static args; tables are captured as constants.
+
+    With a `mesh`, sample-time data parallelism: the initial noise (and
+    therefore the whole reverse chain) is sharded over the 'data' axis —
+    each chip denoises its slice of the batch independently (SURVEY.md
+    §2.3: n_samples shards trivially).
     """
     def fn(key, batch, channels, sizes):
+        noise = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..core.triplane import randn as _randn
+            key, nk = jax.random.split(key)
+            noise = _randn(nk, batch, channels, sizes)
+            sh = NamedSharding(mesh, P("data"))
+            noise = noise.map(
+                lambda p: jax.lax.with_sharding_constraint(p, sh))
         if use_ddim:
             return ddim_sample_loop(model, tables, cfg, key, batch, channels,
-                                    sizes, eta=eta,
+                                    sizes, noise=noise, eta=eta,
                                     clip_denoised=clip_denoised)
         return p_sample_loop(model, tables, cfg, key, batch, channels, sizes,
-                             clip_denoised=clip_denoised)
+                             noise=noise, clip_denoised=clip_denoised)
 
     return jax.jit(fn, static_argnums=(1, 2, 3))

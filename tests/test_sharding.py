@@ -103,3 +103,21 @@ def test_graft_entry_compiles():
     # compile-check (lowering only — full compile of the 64x64x48 flagship
     # is exercised by the driver on real hardware)
     jax.jit(fn).lower(*args)
+
+
+def test_sample_time_dp():
+    """Sampler with a mesh: the reverse chain runs sharded over 'data'."""
+    from sin3dm_tpu.diffusion.sampling import make_jit_sampler
+
+    mesh = meshlib.make_mesh(8)
+    ucfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), ucfg)
+    tables = _tables(50)
+    dcfg = DiffusionConfig(original_num_steps=50)
+    sampler = make_jit_sampler(
+        lambda x, t: unet_apply(params, ucfg, x, t), tables, dcfg,
+        use_ddim=True, mesh=mesh)
+    out = sampler(jax.random.PRNGKey(1), 16, 4, (8, 8, 8))
+    assert out.xy.shape == (16, 8, 8, 4)
+    assert len(out.xy.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(out.xy)).all()
