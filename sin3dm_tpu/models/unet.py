@@ -100,8 +100,87 @@ def _rollout_cat(t: Triplane) -> Triplane:
     return Triplane(xy, xz, yz)
 
 
+def _conv1d3(vec: jax.Array, k3: jax.Array) -> jax.Array:
+    """3-tap 1D conv with zero 'SAME' padding. vec [B,L,C], k3 [3,C,Co]."""
+    k3 = k3.astype(vec.dtype)
+    out = jnp.einsum("blc,co->blo", vec, k3[1])
+    out = out.at[:, 1:].add(jnp.einsum("blc,co->blo", vec[:, :-1], k3[0]))
+    out = out.at[:, :-1].add(jnp.einsum("blc,co->blo", vec[:, 1:], k3[2]))
+    return out
+
+
+def _colvar_contrib(vec: jax.Array, kb: jax.Array, H: int) -> jax.Array:
+    """3x3-conv contribution of an image that is CONSTANT along rows
+    (broadcast of vec [B,W,C] along axis 1).  Interior rows see the
+    column-summed kernel; the zero-padded top/bottom rows see partial
+    sums.  Exact, and ~3H x fewer FLOPs than the dense conv."""
+    s_full = _conv1d3(vec, kb.sum(0))
+    s_top = _conv1d3(vec, kb[1:].sum(0))
+    s_bot = _conv1d3(vec, kb[:2].sum(0))
+    mid = jnp.broadcast_to(s_full[:, None],
+                           (vec.shape[0], H - 2) + s_full.shape[1:])
+    return jnp.concatenate([s_top[:, None], mid, s_bot[:, None]], axis=1)
+
+
+def _rowvar_contrib(vec: jax.Array, kb: jax.Array, W: int) -> jax.Array:
+    """Same for an image constant along columns (vec [B,H,C] broadcast
+    along axis 2): row-summed kernel + partial sums at left/right."""
+    s_full = _conv1d3(vec, kb.sum(1))
+    s_left = _conv1d3(vec, kb[:, 1:].sum(1))
+    s_right = _conv1d3(vec, kb[:, :2].sum(1))
+    mid = jnp.broadcast_to(s_full[:, :, None],
+                           s_full.shape[:2] + (W - 2,) + s_full.shape[2:])
+    return jnp.concatenate([s_left[:, :, None], mid, s_right[:, :, None]],
+                           axis=2)
+
+
+def _tconv_apply_rollout_fast(p: Dict, t: Triplane) -> Triplane:
+    """Rollout conv without materializing the 3x-channel concat.
+
+    The rollout channels are axis-means BROADCAST along one spatial axis
+    (`unet_triplane.py:37-46`), so by linearity their 3x3-conv
+    contribution collapses to 3-tap 1D convs on the un-broadcast vectors
+    (plus partial-kernel fixups at the two zero-padded border lines).
+    Exact same math as conv(concat(...)), at ~1/3 the conv FLOPs — this
+    is the UNet's hot path on both training and the sampling chain."""
+    C = t.channels
+    m_yz_d = jnp.mean(t.yz, axis=-2)   # [B, W, C]
+    m_xz_d = jnp.mean(t.xz, axis=-2)   # [B, H, C]
+    m_xy_w = jnp.mean(t.xy, axis=-2)   # [B, H, C]
+    m_yz_w = jnp.mean(t.yz, axis=-3)   # [B, D, C]
+    m_xy_h = jnp.mean(t.xy, axis=-3)   # [B, W, C]
+    m_xz_h = jnp.mean(t.xz, axis=-3)   # [B, D, C]
+
+    def one(pp, x, col_vec, row_vec, col_first: bool):
+        w = pp["w"]
+        y = nn.conv2d({"w": w[:, :, :C]}, x)
+        blocks = [("col", col_vec, 1), ("row", row_vec, 2)]
+        if not col_first:
+            blocks = [("row", row_vec, 1), ("col", col_vec, 2)]
+        for kind, vec, slot in blocks:
+            kb = w[:, :, slot * C:(slot + 1) * C]
+            if kind == "col":
+                y = y + _colvar_contrib(vec, kb, x.shape[1])
+            else:
+                y = y + _rowvar_contrib(vec, kb, x.shape[2])
+        if "b" in pp:
+            y = y + pp["b"].astype(y.dtype)
+        return y
+
+    # block order per plane follows _rollout_cat:
+    #   xy: [self, col-varying (m_yz_d), row-varying (m_xz_d)]
+    #   xz: [self, row-varying (m_xy_w), col-varying (m_yz_w)]
+    #   yz: [self, row-varying (m_xy_h), col-varying (m_xz_h)]
+    xy = one(p["xy"], t.xy, m_yz_d, m_xz_d, col_first=True)
+    xz = one(p["xz"], t.xz, m_yz_w, m_xy_w, col_first=False)
+    yz = one(p["yz"], t.yz, m_xz_h, m_xy_h, col_first=False)
+    return Triplane(xy, xz, yz)
+
+
 def _tconv_apply(p: Dict, t: Triplane, rollout: bool) -> Triplane:
     if rollout:
+        if p["xy"]["w"].shape[0] == 3 and min(t.sizes) >= 2:
+            return _tconv_apply_rollout_fast(p, t)
         t = _rollout_cat(t)
     return Triplane(nn.conv2d(p["xy"], t.xy),
                     nn.conv2d(p["xz"], t.xz),

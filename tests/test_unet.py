@@ -144,3 +144,54 @@ def test_default_config_parameter_structure():
     assert params["up"][1][0]["in_conv"]["xy"]["w"].shape == (3, 3, 576, 64)
     # FiLM: emb produces 2*out_channels
     assert params["down"][0][0]["emb"]["w"].shape == (256, 128)
+
+
+def test_rollout_fast_matches_dense():
+    """The 1D-collapsed rollout conv must equal conv(concat(rollout))
+    exactly — same math, different factorization."""
+    import jax.numpy as jnp
+    from sin3dm_tpu.core.triplane import randn
+    from sin3dm_tpu.models.unet import (_rollout_cat,
+                                        _tconv_apply_rollout_fast,
+                                        _tconv_init)
+    from sin3dm_tpu.core import nn
+    from sin3dm_tpu.core.triplane import Triplane
+
+    for sizes in ((16, 16, 8), (9, 7, 5), (8, 2, 3)):
+        key = jax.random.PRNGKey(sum(sizes))
+        t = randn(key, 2, 6, sizes)
+        p = _tconv_init(jax.random.PRNGKey(1), 6, 10, 3, rollout=True)
+        tcat = _rollout_cat(t)
+        dense = Triplane(nn.conv2d(p["xy"], tcat.xy),
+                         nn.conv2d(p["xz"], tcat.xz),
+                         nn.conv2d(p["yz"], tcat.yz))
+        fast = _tconv_apply_rollout_fast(p, t)
+        for a, b in zip(fast, dense):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_unet_apply_unchanged_by_fast_rollout():
+    """End-to-end UNet output with the fast rollout path == the dense
+    path (monkeypatched off)."""
+    from sin3dm_tpu.models import unet as U
+
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    from sin3dm_tpu.core.triplane import randn
+    x = randn(jax.random.PRNGKey(1), 2, 4, (12, 10, 6))
+    t = jnp.array([3, 500], dtype=jnp.int32)
+    y_fast = unet_apply(params, cfg, x, t)
+
+    orig = U._tconv_apply_rollout_fast
+    U._tconv_apply_rollout_fast = lambda p, tt: U.Triplane(
+        U.nn.conv2d(p["xy"], U._rollout_cat(tt).xy),
+        U.nn.conv2d(p["xz"], U._rollout_cat(tt).xz),
+        U.nn.conv2d(p["yz"], U._rollout_cat(tt).yz))
+    try:
+        y_dense = unet_apply(params, cfg, x, t)
+    finally:
+        U._tconv_apply_rollout_fast = orig
+    for a, b in zip(y_fast, y_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
