@@ -120,6 +120,20 @@ def _mlp_skip_apply(p: Dict, x) -> jax.Array:
     return nn.linear(p["second"][-1], h)
 
 
+def _head_apply(cfg, head: Dict, x: jax.Array, fused: bool) -> jax.Array:
+    """Apply a decoder MLP head; `fused=True` routes skip-heads through the
+    Pallas VMEM-resident kernel (inference-only: the kernel defines no VJP).
+
+    The 'base' net's plain MLP always takes the XLA path.
+    """
+    if cfg.enc_net_type == "base":
+        return _mlp_apply(head, x)
+    if fused:
+        from ..ops.fused_mlp import skip_mlp_fused
+        return skip_mlp_fused(head, x)
+    return _mlp_skip_apply(head, x)
+
+
 # ---------------------------------------------------------------------------
 # TriplaneGroupResnetBlock (`blocks.py:189-256`) — per-plane form
 # ---------------------------------------------------------------------------
@@ -275,16 +289,18 @@ def process_planes(params: Dict, cfg: AEConfig,
 
 
 def decode_points(params: Dict, cfg: AEConfig, geo_planes: Triplane,
-                  tex_planes, pts: jax.Array, aabb: jax.Array) -> jax.Array:
+                  tex_planes, pts: jax.Array, aabb: jax.Array,
+                  fused_heads: bool = False) -> jax.Array:
     """Decode [N, 3] world points to [N, 1+tex_channels] (sdf first).
 
     geo_planes/tex_planes are the outputs of :func:`process_planes` with a
-    leading batch dim of 1.
+    leading batch dim of 1.  `fused_heads` (static under jit) runs the MLP
+    heads as the Pallas VMEM-resident kernel — inference decode only.
     """
     x = normalize_points(pts, aabb)
     gp = geo_planes.map(lambda a: a[0])
     h_geo = sample_triplane_features(gp, x)
-    mlp = _mlp_apply if cfg.enc_net_type == "base" else _mlp_skip_apply
+    mlp = lambda hd, h: _head_apply(cfg, hd, h, fused_heads)
     sdf = mlp(params["geo_decoder"], h_geo)
     if not cfg.use_tex:
         return sdf
@@ -313,7 +329,9 @@ def forward(params: Dict, cfg: AEConfig, vol: jax.Array, pts: jax.Array,
 
 def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
                       tex_planes, grid_res: Tuple[int, int, int],
-                      slab: int = 8, geo_only: bool = False) -> jax.Array:
+                      slab: int = 8, geo_only: bool = False,
+                      fused_heads: bool = False,
+                      out_dtype=None) -> jax.Array:
     """Dense AABB-grid decode WITHOUT gathers.
 
     Voxel centers of the AABB grid normalize to exactly the half-pixel
@@ -333,7 +351,7 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
     from ..core.nn import resize_bilinear
 
     Nx, Ny, Nz = grid_res
-    mlp = _mlp_apply if cfg.enc_net_type == "base" else _mlp_skip_apply
+    mlp = lambda hd, h: _head_apply(cfg, hd, h, fused_heads)
 
     def plane_grids(planes: Triplane):
         xy = resize_bilinear(planes.xy[0], (Nx, Ny))   # [Nx, Ny, C]
@@ -381,4 +399,37 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
 
     out = jax.lax.map(do_slab, jnp.arange(n_slabs))
     out = out.reshape((Nx + pad), Ny, Nz, -1)
+    if out_dtype is not None:
+        # cast INSIDE the program: the dense-grid result is device->host
+        # transfer-bound, and fp16 halves the wire size (SDF is clamped to
+        # +-threshold ~= 0.023, far inside fp16's precision there)
+        out = out.astype(out_dtype)
     return out[:Nx]
+
+
+def decode_texels(params: Dict, cfg: AEConfig, tex_planes: Triplane,
+                  pts: jax.Array, aabb: jax.Array,
+                  fused_heads: bool = False) -> jax.Array:
+    """Texture-only point decode -> uint8 colors [N, tex_channels].
+
+    Texture baking (`model.py:417-419`) discards the SDF channel and
+    clamps colors to [0, 1]*255 anyway; skipping the geo head and
+    quantizing ON DEVICE shrinks the device->host transfer 16x — which is
+    what the decode path is actually bound by, not FLOPs.
+    """
+    x = normalize_points(pts, aabb)
+    tp = tex_planes.map(lambda a: a[0])
+    h_tex = sample_triplane_features(tp, x)
+    if cfg.posenc > 0:
+        h_tex = sinusoidal_encode(h_tex, cfg.posenc)
+    mlp = lambda hd, h: _head_apply(cfg, hd, h, fused_heads)
+    if cfg.enc_net_type == "pbr":
+        tex = jnp.concatenate([mlp(params["rgb_decoder"], h_tex),
+                               mlp(params["mr_decoder"], h_tex),
+                               mlp(params["normal_decoder"], h_tex)],
+                              axis=-1)
+    else:
+        tex = jax.nn.sigmoid(mlp(params["tex_decoder"], h_tex))
+    # truncating cast matches the host path `(clip(tex,0,1)*255).astype(u8)`
+    tex = jnp.clip(tex, 0.0, 1.0) * 255.0
+    return tex.astype(jnp.uint8)

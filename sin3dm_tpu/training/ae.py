@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -383,7 +384,77 @@ class AETrainer:
         self.meta: Dict = {}
         self._jit_process = None
         self._jit_decode = None
+        self._jit_grid_dense = {}
+        # Serializes device dispatch when decode_texmesh runs for several
+        # samples in concurrent threads: CPU geometry stages overlap, but
+        # interleaved TPU dispatches from multiple host threads thrash the
+        # dispatch path (measured 8.5x slower through a high-RTT link).
+        self._tpu_lock = threading.Lock()
         os.makedirs(log_dir, exist_ok=True)
+
+    def _fused_heads(self) -> bool:
+        """Route inference MLP heads through the Pallas VMEM-resident
+        kernel (ops/fused_mlp.py) — on by default on TPU, off on CPU
+        (interpret-mode pallas is slow); SIN3DM_FUSED_HEADS=0/1 overrides.
+        Training is unaffected (the kernel defines no VJP)."""
+        env = os.environ.get("SIN3DM_FUSED_HEADS")
+        if env is not None:
+            return env not in ("0", "false", "")
+        return jax.default_backend() not in ("cpu",)
+
+    def _ensure_decode_jits(self) -> None:
+        if self._jit_process is not None:
+            return
+        fused = self._fused_heads()
+        self._jit_process = jax.jit(
+            lambda p, f: ae.process_planes(p, self.acfg, f))
+        self._jit_decode = jax.jit(
+            lambda p, gp, tp, pts, ab: ae.decode_points(
+                p, self.acfg, gp, tp, pts, ab, fused_heads=fused))
+
+    def _grid_dense_jit(self):
+        """One cached jit wrapper for the dense grid decode (a fresh
+        `jax.jit(...)` per sample would re-trace every call)."""
+        fn = self._jit_grid_dense.get("fn")
+        if fn is None:
+            fn = jax.jit(ae.decode_grid_dense,
+                         static_argnums=(1, 4, 5, 6, 7, 8))
+            self._jit_grid_dense["fn"] = fn
+        return fn
+
+    def decode_texels(self, feat: Triplane, points: np.ndarray,
+                      aabb=None, batch_size: int = 2 ** 20) -> np.ndarray:
+        """Texture-bake point decode -> uint8 [N, tex_channels].
+
+        Unlike :meth:`decode_batch` the SDF head is skipped and colors are
+        quantized on device (16x smaller device->host transfer — the
+        decode path is transfer-bound through this container's tunnel and
+        on real hardware the PCIe/host path still likes it)."""
+        assert self.params is not None and self.acfg.use_tex
+        feat = _strip_batch(feat)
+        self._ensure_decode_jits()
+        if aabb is None:
+            aabb = self.meta["aabb"]
+        aabb = jnp.asarray(np.asarray(aabb), jnp.float32)
+        fn = self._jit_grid_dense.get("texels")
+        if fn is None:
+            fused = self._fused_heads()
+            fn = jax.jit(lambda p, tp, pts, ab: ae.decode_texels(
+                p, self.acfg, tp, pts, ab, fused_heads=fused))
+            self._jit_grid_dense["texels"] = fn
+        points = np.asarray(points, np.float32)
+        N = points.shape[0]
+        outs = []
+        with self._tpu_lock:
+            _, tex_planes = self._jit_process(self.params, feat)
+            for i in range(0, N, batch_size):
+                chunk = points[i:i + batch_size]
+                n = chunk.shape[0]
+                if n < batch_size:
+                    chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
+                out = fn(self.params, tex_planes, jnp.asarray(chunk), aabb)
+                outs.append(np.asarray(out)[:n])
+        return np.concatenate(outs, axis=0)
 
     def load_data(self, npz_path: str):
         self.data, self.meta = load_ae_data(npz_path, self.tcfg,
@@ -468,28 +539,23 @@ class AETrainer:
             aabb = self.meta["aabb"]
         aabb = jnp.asarray(np.asarray(aabb), jnp.float32)
 
-        if self._jit_process is None:
-            self._jit_process = jax.jit(
-                lambda p, f: ae.process_planes(p, self.acfg, f))
-            self._jit_decode = jax.jit(
-                lambda p, gp, tp, pts, ab: ae.decode_points(
-                    p, self.acfg, gp, tp, pts, ab))
-        geo_planes, tex_planes = self._jit_process(self.params, feat)
-
+        self._ensure_decode_jits()
         points = np.asarray(points, np.float32)
         N = points.shape[0]
         if N == 0:
             n_out = 1 + (self.acfg.tex_channels if self.acfg.use_tex else 0)
             return np.zeros((0, n_out), np.float32)
         outs = []
-        for i in range(0, N, batch_size):
-            chunk = points[i:i + batch_size]
-            n = chunk.shape[0]
-            if n < batch_size:
-                chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
-            out = self._jit_decode(self.params, geo_planes, tex_planes,
-                                   jnp.asarray(chunk), aabb)
-            outs.append(np.asarray(out)[:n])
+        with self._tpu_lock:
+            geo_planes, tex_planes = self._jit_process(self.params, feat)
+            for i in range(0, N, batch_size):
+                chunk = points[i:i + batch_size]
+                n = chunk.shape[0]
+                if n < batch_size:
+                    chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
+                out = self._jit_decode(self.params, geo_planes, tex_planes,
+                                       jnp.asarray(chunk), aabb)
+                outs.append(np.asarray(out)[:n])
         preds = np.concatenate(outs, axis=0)
         if preds.shape[-1] > 1:
             preds[..., 1:] = np.clip(preds[..., 1:], 0.0, 1.0)
@@ -497,8 +563,8 @@ class AETrainer:
 
     def decode_grid(self, feat: Triplane, reso: int, aabb=None,
                     batch_size: int = 2 ** 16,
-                    dense: bool = True, geo_only: bool = False
-                    ) -> np.ndarray:
+                    dense: bool = True, geo_only: bool = False,
+                    transfer_dtype=None) -> np.ndarray:
         """Decode the AABB voxel-center grid -> [Nx, Ny, Nz, 1+Ct]
         (`model.py:335-349`).
 
@@ -520,19 +586,13 @@ class AETrainer:
             return preds.reshape(*res, -1)
 
         feat = _strip_batch(feat)
-        if self._jit_process is None:
-            self._jit_process = jax.jit(
-                lambda p, f: ae.process_planes(p, self.acfg, f))
-            self._jit_decode = jax.jit(
-                lambda p, gp, tp, pts, ab: ae.decode_points(
-                    p, self.acfg, gp, tp, pts, ab))
-        geo_planes, tex_planes = self._jit_process(self.params, feat)
-        out = jax.jit(ae.decode_grid_dense,
-                      static_argnums=(1, 4, 5, 6))(
-            self.params, self.acfg, geo_planes, tex_planes, res, 8,
-            geo_only)
-        preds = np.array(out)  # writable copy (np.asarray of a jax array
-        #                        is a read-only view)
+        self._ensure_decode_jits()
+        with self._tpu_lock:
+            geo_planes, tex_planes = self._jit_process(self.params, feat)
+            fn = self._grid_dense_jit()
+            out = fn(self.params, self.acfg, geo_planes, tex_planes, res,
+                     8, geo_only, self._fused_heads(), transfer_dtype)
+            preds = np.array(out, dtype=np.float32)  # writable fp32 copy
         if preds.shape[-1] > 1:
             preds[..., 1:] = np.clip(preds[..., 1:], 0.0, 1.0)
         return preds
@@ -581,8 +641,10 @@ class AETrainer:
         os.makedirs(save_dir, exist_ok=True)
         # geometry stage only needs the SDF channel: geo_only skips the
         # texture MLPs (2/3 of the FLOPs) and shrinks the device->host
-        # transfer 4x
-        grid = self.decode_grid(feat, reso, aabb=new_aabb, geo_only=True)
+        # transfer 4x; fp16 wire format halves it again (the path is
+        # transfer-bound, and the clamped TSDF fits fp16 easily)
+        grid = self.decode_grid(feat, reso, aabb=new_aabb, geo_only=True,
+                                transfer_dtype=jnp.float16)
         sdf_grid = grid[..., 0]
         t0 = tick(f"sdf grid {sdf_grid.shape}", t0)
         if save_voxel:
@@ -633,14 +695,13 @@ class AETrainer:
         t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels)", t0)
 
         texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
-        # big chunks: each decode_batch chunk is one device dispatch
-        preds = self.decode_batch(feat, texels, aabb=new_aabb,
-                                  batch_size=2 ** 20)
+        # tex-only heads + on-device uint8 quantization: the transfer is
+        # 16x smaller than the generic decode_batch fp32 path
+        preds = self.decode_texels(feat, texels, aabb=new_aabb)
         t0 = tick("texel decode", t0)
-        n_tex_ch = preds.shape[-1] - 1
-        tex_img = np.zeros((texture_reso, texture_reso, n_tex_ch), np.float32)
-        tex_img[mask] = np.clip(preds[..., 1:], 0, 1)
-        tex_img = (tex_img * 255).astype(np.uint8)
+        n_tex_ch = preds.shape[-1]
+        tex_img = np.zeros((texture_reso, texture_reso, n_tex_ch), np.uint8)
+        tex_img[mask] = preds
 
         # 3x3 dilation fills seam texels (`model.py:426-429`)
         m = mask[..., None].astype(np.uint8)
@@ -700,17 +761,11 @@ class AETrainer:
             # gather-free dense decode applies (one dispatch instead of
             # hundreds of 2^16-point chunks)
             feat_b = _strip_batch(feat)
-            if self._jit_process is None:
-                self._jit_process = jax.jit(
-                    lambda p, f: ae.process_planes(p, self.acfg, f))
-                self._jit_decode = jax.jit(
-                    lambda p, gp, tp, pts, ab: ae.decode_points(
-                        p, self.acfg, gp, tp, pts, ab))
+            self._ensure_decode_jits()
             gp, tp = self._jit_process(self.params, feat_b)
-            pred = np.array(jax.jit(ae.decode_grid_dense,
-                                    static_argnums=(1, 4, 5, 6))(
+            pred = np.array(self._grid_dense_jit()(
                 self.params, self.acfg, gp, tp, tuple(grid_shape), 8,
-                True)).reshape(-1, 1)
+                True, self._fused_heads())).reshape(-1, 1)
             # align with the shuffled ground-truth table (load_ae_data)
             perm = np.random.default_rng(SHUFFLE_SEED).permutation(
                 pred.shape[0])

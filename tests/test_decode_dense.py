@@ -47,3 +47,40 @@ def test_dense_grid_decode_sdf_only():
     dense = np.asarray(ae.decode_grid_dense(params, cfg, geo_planes,
                                             tex_planes, res, slab=4))
     np.testing.assert_allclose(dense, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_decode_texels_matches_point_decode():
+    """Tex-only uint8 texel decode == generic point decode's clipped tex
+    channels quantized the same way (truncating *255 cast)."""
+    cfg = ae.AEConfig(fdim_up=32, hidden_dim=64)
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    aabb = np.array([-1, -1, -0.5, 1, 1, 0.5], np.float32)
+    vol = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 16, 8, 4))
+    feat = ae.encode(params, cfg, vol)
+    geo_planes, tex_planes = ae.process_planes(params, cfg, feat)
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (513, 3),
+                             minval=-1, maxval=1)
+    ref = np.asarray(ae.decode_points(params, cfg, geo_planes, tex_planes,
+                                      pts, jnp.asarray(aabb)))
+    ref_u8 = (np.clip(ref[:, 1:], 0, 1) * 255).astype(np.uint8)
+    got = np.asarray(ae.decode_texels(params, cfg, tex_planes, pts,
+                                      jnp.asarray(aabb)))
+    assert got.dtype == np.uint8 and got.shape == ref_u8.shape
+    # fp rounding at the *255 quantization edge can differ by 1 LSB
+    assert np.mean(np.abs(got.astype(int) - ref_u8.astype(int)) > 1) == 0
+
+
+def test_dense_grid_out_dtype_fp16():
+    cfg = ae.AEConfig(data_type="sdf", fdim_up=32, hidden_dim=64)
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    vol = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8, 1))
+    feat = ae.encode(params, cfg, vol)
+    gp, tp = ae.process_planes(params, cfg, feat)
+    res = (8, 8, 8)
+    full = np.asarray(ae.decode_grid_dense(params, cfg, gp, tp, res,
+                                           slab=4))
+    half = np.asarray(ae.decode_grid_dense(params, cfg, gp, tp, res,
+                                           slab=4, out_dtype=jnp.float16))
+    assert half.dtype == np.float16
+    np.testing.assert_allclose(half.astype(np.float32), full,
+                               rtol=2e-3, atol=2e-3)

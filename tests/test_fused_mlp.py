@@ -38,3 +38,54 @@ def test_fused_kernel_small_hidden():
     ref = np.asarray(skip_mlp_reference(p, x))
     fused = np.asarray(skip_mlp_fused(p, x, tile_n=256))
     np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_decode_points_fused_heads_parity():
+    """The wired inference path: decode_points(fused_heads=True) must match
+    the XLA head path bit-closely (pallas interpret mode on CPU)."""
+    from sin3dm_tpu.core.triplane import Triplane
+    from sin3dm_tpu.models import autoencoder as ae
+
+    cfg = ae.AEConfig()
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    sizes = (16, 16, 8)
+    key = jax.random.PRNGKey(1)
+    kf, kp = jax.random.split(key)
+    feat = Triplane(
+        jax.random.normal(kf, (1, sizes[0], sizes[1], cfg.feat_channels)),
+        jax.random.normal(kp, (1, sizes[0], sizes[2], cfg.feat_channels)),
+        jax.random.normal(key, (1, sizes[1], sizes[2], cfg.feat_channels)))
+    feat = feat.map(jnp.tanh)
+    gp, tp = ae.process_planes(params, cfg, feat)
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (777, 3),
+                             minval=-1, maxval=1)
+    aabb = jnp.array([-1, -1, -0.5, 1, 1, 0.5], jnp.float32)
+    ref = np.asarray(ae.decode_points(params, cfg, gp, tp, pts, aabb,
+                                      fused_heads=False))
+    fused = np.asarray(ae.decode_points(params, cfg, gp, tp, pts, aabb,
+                                        fused_heads=True))
+    np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_decode_grid_dense_fused_heads_parity():
+    from sin3dm_tpu.core.triplane import Triplane
+    from sin3dm_tpu.models import autoencoder as ae
+
+    cfg = ae.AEConfig()
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    sizes = (12, 12, 8)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    feat = Triplane(
+        jax.random.normal(keys[0], (1, sizes[0], sizes[1],
+                                    cfg.feat_channels)),
+        jax.random.normal(keys[1], (1, sizes[0], sizes[2],
+                                    cfg.feat_channels)),
+        jax.random.normal(keys[2], (1, sizes[1], sizes[2],
+                                    cfg.feat_channels))).map(jnp.tanh)
+    gp, tp = ae.process_planes(params, cfg, feat)
+    res = (16, 16, 12)
+    ref = np.asarray(ae.decode_grid_dense(params, cfg, gp, tp, res, 4,
+                                          False, fused_heads=False))
+    fused = np.asarray(ae.decode_grid_dense(params, cfg, gp, tp, res, 4,
+                                            False, fused_heads=True))
+    np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=1e-4)
