@@ -179,10 +179,11 @@ def main():
                                  ucfg.in_channels, sizes)
         for i in range(batch)]
 
-    # decode the 4 samples concurrently: CPU geometry (MC/decimate/UV/IO)
-    # of one sample overlaps the TPU work of another
-    from concurrent.futures import ThreadPoolExecutor
-
+    # serial decode: this container exposes ONE host core, where thread
+    # concurrency measurably HURTS (interleaved dispatch + CPU contention;
+    # serial 50.5s vs 2-thread 70.6s measured) — the pipeline already
+    # minimizes CPU work (bitmask marching cubes, clustering decimation)
+    # and device<->host bytes (fp16 grids, uint8 texels)
     def decode_one(i):
         with tempfile.TemporaryDirectory() as d:
             trainer.decode_texmesh(d, decode_feats[i], reso,
@@ -190,10 +191,10 @@ def main():
                                    save_voxel=False)
 
     t1 = time.perf_counter()
-    with ThreadPoolExecutor(batch) as pool:
-        list(pool.map(decode_one, range(batch)))
+    for i in range(batch):
+        decode_one(i)
     t_decode = time.perf_counter() - t1
-    log(f"decode x{batch} (concurrent; {reso}^3 grid + MC + {n_faces} "
+    log(f"decode x{batch} (serial; {reso}^3 grid + MC + {n_faces} "
         f"faces + {texreso}^2 bake): {t_decode:.2f}s")
 
     elapsed = t_sample + t_decode

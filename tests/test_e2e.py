@@ -59,7 +59,7 @@ def test_full_pipeline_cli(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         data["tex_on_surf"].mean(axis=0), [0.8, 0.3, 0.2], atol=0.05)
 
-    tag = "exp"
+    tag = str(tmp_path / "exp")
     train_cli.main([
         "--tag", tag, "--data_path", npz, "--fm_reso", "16",
         "--enc_n_iters", "60", "--enc_batch_size", "1024",
