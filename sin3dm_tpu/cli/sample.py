@@ -103,15 +103,26 @@ def decode(args, paths):
                                    mtl_path=mtl_path,
                                    file_format=args.file_format)
 
+    if args.vox:
+        for p in paths:
+            decode_one(p)
+        return
+
     # On multi-core hosts, decode samples concurrently: the CPU geometry
     # stages (MC, decimate, UV, export) of one sample overlap the device
     # work of another (the trainer serializes TPU dispatch internally).
-    # On a single core, threads only add contention — measured 40% slower
-    # — so decode serially there.
+    # On a single core, threads only add contention (measured 40% slower);
+    # use the single-threaded async-dispatch pipeline instead — all SDF
+    # grids prefetched, texel transfers overlapped with the next sample's
+    # CPU geometry.
     workers = min(4, max(1, len(paths)), os.cpu_count() or 1)
     if workers == 1:
-        for p in paths:
-            decode_one(p)
+        feats = [load_triplane_npz(p) for p in paths]
+        trainer.decode_texmesh_many(
+            [os.path.dirname(p) for p in paths], feats, args.reso,
+            n_faces=args.n_faces, texture_reso=args.texreso,
+            save_highres_mesh=False, n_surf_pc=-1, mtl_path=mtl_path,
+            file_format=args.file_format)
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(workers) as pool:

@@ -39,7 +39,9 @@ def read_material_params_from_mtl(path: str) -> str:
 
 def _save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
-    Image.fromarray(img).save(path)
+    # compress_level 1: ~4x faster zlib pass on 2048^2 textures for a few
+    # percent larger file — texture export is on the generation hot path
+    Image.fromarray(img).save(path, compress_level=1)
 
 
 def save_mesh_vf(path: str, v: np.ndarray, f: np.ndarray) -> None:

@@ -618,13 +618,35 @@ class AETrainer:
                        save_voxel: bool = True, mtl_path=None,
                        file_format: str = "obj",
                        verbose: bool = False) -> None:
-        """Full mesh-extraction pipeline (`model.py:362-473`): decode dense
-        SDF grid -> marching cubes (largest CC) -> renormalize to AABB ->
-        quadric decimation -> UV atlas + raster bake -> decode texels ->
-        seam dilation -> obj/glb/pbr export."""
+        """Full mesh-extraction pipeline (`model.py:362-473`) for one
+        sample; see :meth:`decode_texmesh_many` for the pipelined batch."""
+        self.decode_texmesh_many(
+            [save_dir], [feat], reso, n_faces=n_faces, n_surf_pc=n_surf_pc,
+            texture_reso=texture_reso, only_largest_cc=only_largest_cc,
+            save_highres_mesh=save_highres_mesh, save_voxel=save_voxel,
+            mtl_path=mtl_path, file_format=file_format, verbose=verbose)
+
+    def decode_texmesh_many(self, save_dirs, feats, reso: int,
+                            n_faces: int = 10000, n_surf_pc: int = -1,
+                            texture_reso: int = 2048,
+                            only_largest_cc: bool = True,
+                            save_highres_mesh: bool = False,
+                            save_voxel: bool = True, mtl_path=None,
+                            file_format: str = "obj",
+                            verbose: bool = False) -> None:
+        """Mesh-extraction for a batch of samples, software-pipelined over
+        JAX's async dispatch: every sample's dense SDF grid is dispatched
+        up front (the device computes and streams them back while the host
+        runs marching cubes/decimation/UV on earlier samples), and each
+        sample's texel decode streams back while the NEXT sample's CPU
+        geometry runs.  Single-threaded — on small hosts thread pools
+        fight over cores; a dependency-ordered pipeline does not.
+
+        Pipeline per sample: dense SDF grid (device) -> marching cubes,
+        largest CC (`model.py:362-473`) -> renormalize -> decimation ->
+        UV atlas + raster -> texel decode (device) -> seam dilation ->
+        obj/glb/pbr export."""
         import time
-        import cv2
-        from ..geometry import meshio, meshproc, uvatlas
 
         def tick(label, t0):
             if verbose:
@@ -632,21 +654,107 @@ class AETrainer:
                       f"{time.perf_counter() - t0:.2f}s", flush=True)
             return time.perf_counter()
 
-        t0 = time.perf_counter()
-        feat = _strip_batch(feat, keep=True)
-        H, W = feat.xy.shape[-3], feat.xy.shape[-2]
-        D = feat.xz.shape[-2]
-        new_aabb = self._resize_aabb((H, W, D))
+        feats = [_strip_batch(f, keep=True) for f in feats]
+        aabbs = []
+        for feat in feats:
+            H, W = feat.xy.shape[-3], feat.xy.shape[-2]
+            D = feat.xz.shape[-2]
+            aabbs.append(self._resize_aabb((H, W, D)))
+
+        # stage 1: dispatch ALL dense geo grids (async; device round-robins
+        # them while the host chews on the first sample's geometry)
+        grid_handles = [self._dispatch_geo_grid(feat, reso, aabb)
+                        for feat, aabb in zip(feats, aabbs)]
+
+        pending = None  # (save_dir, assemble kwargs) awaiting texels
+        for idx, (save_dir, feat, new_aabb) in enumerate(
+                zip(save_dirs, feats, aabbs)):
+            t0 = time.perf_counter()
+            sdf_grid = np.asarray(grid_handles[idx], np.float32)[..., 0]
+            grid_handles[idx] = None  # free device + host buffers
+            t0 = tick(f"sdf grid {sdf_grid.shape}", t0)
+            cpu = self._texmesh_geometry(
+                save_dir, feat, sdf_grid, new_aabb, reso, n_faces,
+                n_surf_pc, texture_reso, only_largest_cc,
+                save_highres_mesh, save_voxel, tick, t0)
+            if cpu is None:  # empty surface / sdf-only: nothing to bake
+                continue
+            texel_handle = self._dispatch_texels(
+                feat, cpu["texels"], new_aabb)
+            # assemble the PREVIOUS sample while this one's texels stream
+            if pending is not None:
+                self._texmesh_assemble(mtl_path=mtl_path,
+                                       file_format=file_format,
+                                       tick=tick, **pending)
+            pending = dict(save_dir=save_dir, cpu=cpu,
+                           texel_handle=texel_handle,
+                           texture_reso=texture_reso)
+        if pending is not None:
+            self._texmesh_assemble(mtl_path=mtl_path,
+                                   file_format=file_format, tick=tick,
+                                   **pending)
+
+    def _dispatch_geo_grid(self, feat: Triplane, reso: int, aabb):
+        """Dispatch the dense geo-only grid decode; returns the DEVICE
+        array (fp16) without blocking.  The SDF channel is all the
+        geometry stage needs (skips the texture MLPs, 4x smaller
+        transfer), and fp16 halves the wire size again — the path is
+        transfer-bound, and the clamped TSDF fits fp16 easily."""
+        from ..dataio.grid import grid_resolutions
+        res = tuple(int(x) for x in
+                    grid_resolutions(np.asarray(aabb), reso))
+        self._ensure_decode_jits()
+        with self._tpu_lock:
+            gp, tp = self._jit_process(self.params, feat)
+            out = self._grid_dense_jit()(
+                self.params, self.acfg, gp, tp, res, 8, True,
+                self._fused_heads(), jnp.float16)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass  # backends without async host copies still work
+        return out
+
+    def _dispatch_texels(self, feat: Triplane, points: np.ndarray, aabb,
+                         batch_size: int = 2 ** 20):
+        """Dispatch the uint8 texel decode; returns (chunk device arrays,
+        N) without blocking on the results."""
+        self._ensure_decode_jits()
+        aabb = jnp.asarray(np.asarray(aabb), jnp.float32)
+        fn = self._jit_grid_dense.get("texels")
+        if fn is None:
+            fused = self._fused_heads()
+            fn = jax.jit(lambda p, tp, pts, ab: ae.decode_texels(
+                p, self.acfg, tp, pts, ab, fused_heads=fused))
+            self._jit_grid_dense["texels"] = fn
+        points = np.asarray(points, np.float32)
+        N = points.shape[0]
+        chunks = []
+        with self._tpu_lock:
+            _, tex_planes = self._jit_process(self.params, feat)
+            for i in range(0, N, batch_size):
+                chunk = points[i:i + batch_size]
+                n = chunk.shape[0]
+                if n < batch_size:
+                    chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
+                out = fn(self.params, tex_planes, jnp.asarray(chunk), aabb)
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                chunks.append(out)
+        return chunks, N
+
+    def _texmesh_geometry(self, save_dir: str, feat: Triplane,
+                          sdf_grid: np.ndarray, new_aabb, reso: int,
+                          n_faces: int, n_surf_pc: int, texture_reso: int,
+                          only_largest_cc: bool, save_highres_mesh: bool,
+                          save_voxel: bool, tick, t0):
+        """Host geometry stages: MC -> largest CC -> renorm -> decimate ->
+        UV atlas + raster.  Returns None when there is nothing to bake."""
+        from ..geometry import meshio, meshproc, uvatlas
 
         os.makedirs(save_dir, exist_ok=True)
-        # geometry stage only needs the SDF channel: geo_only skips the
-        # texture MLPs (2/3 of the FLOPs) and shrinks the device->host
-        # transfer 4x; fp16 wire format halves it again (the path is
-        # transfer-bound, and the clamped TSDF fits fp16 easily)
-        grid = self.decode_grid(feat, reso, aabb=new_aabb, geo_only=True,
-                                transfer_dtype=jnp.float16)
-        sdf_grid = grid[..., 0]
-        t0 = tick(f"sdf grid {sdf_grid.shape}", t0)
         if save_voxel:
             np.savez_compressed(os.path.join(save_dir, "voxel.npz"),
                                 vox_grid=sdf_grid < 0)
@@ -662,7 +770,7 @@ class AETrainer:
                   f"{save_dir}")
             meshio.save_mesh_vf(os.path.join(save_dir, "object.obj"),
                                 np.zeros((0, 3)), np.zeros((0, 3), int))
-            return
+            return None
         if save_highres_mesh:
             meshio.save_mesh_vf(
                 os.path.join(save_dir, f"mesh_r{reso}.obj"), v, f)
@@ -680,7 +788,7 @@ class AETrainer:
                                 sdf_grid=sdf_grid)
             meshio.save_mesh_vf(
                 os.path.join(save_dir, f"mesh_r{reso}_simple.obj"), v, f)
-            return
+            return None
 
         if n_surf_pc > 0:
             fi, bc = meshproc.sample_mesh_random(v, f, n_surf_pc)
@@ -695,10 +803,24 @@ class AETrainer:
         t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels)", t0)
 
         texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
-        # tex-only heads + on-device uint8 quantization: the transfer is
-        # 16x smaller than the generic decode_batch fp32 path
-        preds = self.decode_texels(feat, texels, aabb=new_aabb)
+        return {"v": v, "f": f, "uvs": uvs, "tex_idx": tex_idx,
+                "mask": mask, "texels": texels}
+
+    def _texmesh_assemble(self, save_dir: str, cpu: Dict, texel_handle,
+                          texture_reso: int, mtl_path, file_format: str,
+                          tick) -> None:
+        """Blocking tail: gather the texel chunks, dilate seams, export."""
+        import time
+        import cv2
+        from ..geometry import meshio
+
+        t0 = time.perf_counter()
+        chunks, N = texel_handle
+        preds = np.concatenate([np.asarray(c) for c in chunks],
+                               axis=0)[:N]
         t0 = tick("texel decode", t0)
+        mask = cpu["mask"]
+        v, f, uvs, tex_idx = cpu["v"], cpu["f"], cpu["uvs"], cpu["tex_idx"]
         n_tex_ch = preds.shape[-1]
         tex_img = np.zeros((texture_reso, texture_reso, n_tex_ch), np.uint8)
         tex_img[mask] = preds
