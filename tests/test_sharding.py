@@ -121,3 +121,56 @@ def test_sample_time_dp():
     assert out.xy.shape == (16, 8, 8, 4)
     assert len(out.xy.sharding.device_set) == 8
     assert np.isfinite(np.asarray(out.xy)).all()
+
+
+def test_ae_point_batch_sharded_matches_unsharded():
+    """The AE train step with a mesh shards the 65k-point batch on 'data';
+    loss and updated params must match the unsharded step (same batch,
+    psum-reduced grads are mathematically identical)."""
+    from sin3dm_tpu.models import autoencoder as ae
+    from sin3dm_tpu.training import ae as ae_train
+
+    rng = np.random.default_rng(0)
+    n_grid, n_near = 512, 2048
+    data = ae_train.AEData(
+        input_grid=jnp.asarray(rng.standard_normal((1, 16, 16, 8, 4)),
+                               jnp.float32),
+        pts_grid=jnp.asarray(rng.uniform(-1, 1, (n_grid, 3)), jnp.float32),
+        sdf_grid=jnp.asarray(rng.uniform(-0.02, 0.02, (n_grid, 1)),
+                             jnp.float32),
+        pts_near_surf=jnp.asarray(rng.uniform(-1, 1, (n_near, 3)),
+                                  jnp.float32),
+        sdf_near_surf=jnp.asarray(rng.uniform(-0.02, 0.02, (n_near, 1)),
+                                  jnp.float32),
+        tex_grid=jnp.asarray(rng.uniform(0, 1, (n_grid, 3)), jnp.float32),
+        tex_near_surf=jnp.asarray(rng.uniform(0, 1, (n_near, 3)),
+                                  jnp.float32),
+        pts_on_surf=None, tex_on_surf=None,
+        aabb=jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32))
+
+    acfg = ae.AEConfig(fdim_up=32, hidden_dim=64)
+    tcfg = ae_train.AETrainerConfig(enc_batch_size=1024)
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), acfg)
+    labels = ae.geo_param_labels(params)
+    opt = ae_train.make_optimizer(tcfg, labels)
+
+    def run(mesh):
+        # fresh buffers per run: the fused step donates its input state
+        p = jax.tree_util.tree_map(jnp.array, params)
+        state = ae_train.AETrainState(p, opt.init(p),
+                                      jnp.zeros((), jnp.int32))
+        if mesh is not None:
+            state = meshlib.replicate(mesh, state)
+        step = ae_train.make_train_step(acfg, tcfg, data, 0.02, labels,
+                                        mesh=mesh)
+        state, m = step(state, data, jax.random.PRNGKey(7))
+        return state, m
+
+    s1, m1 = run(None)
+    s2, m2 = run(meshlib.make_mesh(8))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)[3]
+    l2 = jax.tree_util.tree_leaves(s2.params)[3]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4,
+                               atol=1e-6)
