@@ -88,6 +88,20 @@ def test_full_pipeline_cli(tmp_path, monkeypatch):
     assert 0.0 <= results["LP_IOU"] <= 1.0
     assert os.path.exists(f"{tag}/results/eval_results.json")
 
+    # --resize retargeting (`sample.py:26-30`, aabb rescale
+    # `model.py:351-360`): planes stretch 1.5x along z, fully
+    # convolutional UNet + retargeted AABB still decode a mesh
+    sample_cli.main([
+        "--tag", tag, "--n_samples", "1", "--use_ddim", "true",
+        "--timestep_respacing", "ddim5", "--reso", "24",
+        "--n_faces", "200", "--texreso", "64",
+        "--output", "results_resized", "--resize", "1", "1", "1.5"])
+    rd = f"{tag}/results_resized/000"
+    assert os.path.exists(os.path.join(rd, "object.obj"))
+    fz = np.load(os.path.join(rd, "feat.npz"))       # CHW: feat_xz [C, H, D]
+    base = np.load(f"{tag}/results/000/feat.npz")
+    assert fz["feat_xz"].shape[-1] == int(base["feat_xz"].shape[-1] * 1.5)
+
 
 @pytest.mark.slow
 def test_diffusion_training_test_env_hook(tmp_path, monkeypatch):
