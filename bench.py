@@ -155,9 +155,16 @@ def main():
                     "Ka": [0, 0, 0], "Kd": [1, 1, 1],
                     "Ks": [0.4, 0.4, 0.4], "Ns": 10}
 
+    # pipeline chunk: chain time is linear in batch at these sizes
+    # (measured 1.60/3.17/6.15 s for batch 1/2/4), so sampling in chunks
+    # of 1 costs no device efficiency and overlaps chunk i+1's reverse
+    # chain with chunk i's CPU geometry — same schedule as cli.sample
+    chunk = max(1, min(batch,
+                       int(os.environ.get("SIN3DM_BENCH_CHUNK", "1"))))
+
     # ---- warmup / compile (excluded, like cuDNN autotune amortization)
     t0 = time.perf_counter()
-    out = sampler(jax.random.PRNGKey(1), batch, ucfg.in_channels, sizes)
+    out = sampler(jax.random.PRNGKey(1), chunk, ucfg.in_channels, sizes)
     jax.block_until_ready(out)
     log(f"sampler compile+warmup: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
@@ -189,43 +196,59 @@ def main():
     min_passes = max(1, int(os.environ.get("SIN3DM_BENCH_PASSES", "3")))
     max_passes = max(min_passes,
                      int(os.environ.get("SIN3DM_BENCH_MAX_PASSES", "8")))
-    quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "25"))
+    quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "18"))
     results = []
     p = 0
     while p < max_passes and (p < min_passes
                               or min(results)[0] > quiet_total):
         if p > 0:
             time.sleep(15)
-        t0 = time.perf_counter()
-        samples = sampler(jax.random.PRNGKey(2 + p), batch,
-                          ucfg.in_channels, sizes)
-        jax.block_until_ready(samples)
-        t_sample = time.perf_counter() - t0
 
-        # single-threaded async-dispatch decode pipeline: all SDF grids
-        # prefetched (device computes while the host runs marching cubes
-        # on earlier samples), texel transfers overlap the next sample's
-        # CPU geometry.  Thread pools measurably HURT on a one-core host
-        # (serial 50.5s vs 2-thread 70.6s); async dispatch gives the
-        # overlap without the contention.
-        t1 = time.perf_counter()
+        # Cross-chunk pipeline (same schedule as cli.sample.generate):
+        # per chunk — block on its reverse chain, dispatch its dense SDF
+        # grids, dispatch the NEXT chunk's chain, then run this chunk's
+        # CPU geometry while that chain runs on the device.  Within a
+        # chunk the single-threaded async-dispatch decode pipeline
+        # overlaps texel transfers with CPU geometry (thread pools HURT
+        # on a one-core host: serial 50.5s vs 2-thread 70.6s).
+        t0 = time.perf_counter()
+        t_chains = 0.0
         with tempfile.TemporaryDirectory() as d:
-            dirs = [os.path.join(d, f"{i:03d}") for i in range(batch)]
-            trainer.decode_texmesh_many(dirs, decode_feats, reso,
-                                        n_faces=n_faces,
-                                        texture_reso=texreso,
-                                        save_voxel=False)
-        t_decode = time.perf_counter() - t1
-        results.append((t_sample + t_decode, t_sample, t_decode))
-        log(f"pass {p + 1}/{max_passes}: total {results[-1][0]:.2f}s "
-            f"(DDPM-{steps} x{batch} sampling {t_sample:.2f}s + decode "
-            f"{t_decode:.2f}s [{reso}^3 grid + MC + {n_faces} faces + "
-            f"{texreso}^2 bake])")
+            pending = None  # (dirs, feats, grid_handles)
+            n_chunks = (batch + chunk - 1) // chunk
+            for ci in range(n_chunks):
+                samples = sampler(jax.random.PRNGKey(2 + p * 16 + ci),
+                                  chunk, ucfg.in_channels, sizes)
+                if pending is not None:
+                    trainer.decode_texmesh_many(
+                        pending[0], pending[1], reso, n_faces=n_faces,
+                        texture_reso=texreso, save_voxel=False,
+                        grid_handles=pending[2])
+                tb = time.perf_counter()
+                jax.block_until_ready(samples)  # chain done (real data dep)
+                t_chains += time.perf_counter() - tb
+                lo = ci * chunk
+                feats = decode_feats[lo:lo + chunk]
+                dirs = [os.path.join(d, f"{lo + j:03d}")
+                        for j in range(len(feats))]
+                handles = trainer.dispatch_geo_grids(feats, reso)
+                pending = (dirs, feats, handles)
+            if pending is not None:
+                trainer.decode_texmesh_many(
+                    pending[0], pending[1], reso, n_faces=n_faces,
+                    texture_reso=texreso, save_voxel=False,
+                    grid_handles=pending[2])
+        elapsed_pass = time.perf_counter() - t0
+        results.append((elapsed_pass, t_chains, elapsed_pass - t_chains))
+        log(f"pass {p + 1}/{max_passes}: total {elapsed_pass:.2f}s "
+            f"(DDPM-{steps} x{batch} in chunks of {chunk}; "
+            f"{t_chains:.2f}s blocked on chains, decode overlapped "
+            f"[{reso}^3 grid + MC + {n_faces} faces + {texreso}^2 bake])")
         p += 1
 
-    elapsed, t_sample, t_decode = min(results)
-    log(f"best of {p}: {elapsed:.2f}s (sample {t_sample:.2f} + decode "
-        f"{t_decode:.2f})")
+    elapsed, t_blocked, t_rest = min(results)
+    log(f"best of {p}: {elapsed:.2f}s ({t_blocked:.2f}s blocked on chains, "
+        f"{t_rest:.2f}s pipelined decode)")
 
     print(json.dumps({
         "metric": "generate4_ddpm1000_decode256_wallclock",

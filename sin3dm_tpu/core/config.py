@@ -145,6 +145,10 @@ def add_sampling_options(parser) -> None:
                    choices=["obj", "glb"])
     g.add_argument("--seed", type=int, default=0,
                    help="sampling PRNG seed")
+    g.add_argument("--pipeline_chunk", type=int, default=1,
+                   help="samples per pipelined sample+decode chunk (mesh "
+                        "path); chain cost is linear in batch so small "
+                        "chunks overlap best")
 
 
 # ---------------------------------------------------------------------------

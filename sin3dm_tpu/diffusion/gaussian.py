@@ -19,7 +19,7 @@ TPU-native re-design of the reference `GaussianDiffusion`
 from __future__ import annotations
 
 import enum
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,17 @@ def q_sample(tables, x_start: Triplane, t: jax.Array,
     a = extract(tables, "sqrt_alphas_cumprod", t, x_start)
     b = extract(tables, "sqrt_one_minus_alphas_cumprod", t, x_start)
     return a * x_start + b * noise
+
+
+def q_mean_variance(tables, x_start: Triplane,
+                    t: jax.Array) -> Tuple[Triplane, Triplane, Triplane]:
+    """Mean, variance, log-variance of q(x_t | x_0)
+    (`gaussian_diffusion.py:172-187`)."""
+    mean = extract(tables, "sqrt_alphas_cumprod", t, x_start) * x_start
+    one_minus = extract(tables, "alphas_cumprod", t, x_start).map(
+        lambda a: 1.0 - a)
+    log_var = extract(tables, "log_one_minus_alphas_cumprod", t, x_start)
+    return mean, one_minus, log_var
 
 
 def q_posterior_mean(tables, x_start: Triplane, x_t: Triplane,

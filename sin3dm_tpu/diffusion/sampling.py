@@ -70,6 +70,92 @@ def ddim_sample_loop(model: ModelFn, tables, cfg: DiffusionConfig,
     return x
 
 
+def _chunked_progressive(step, x, ts, snapshot_every: int) -> Triplane:
+    """Run `step` over every t in `ts`, emitting the state after each
+    `snapshot_every` steps (and always after the final step).  Returns a
+    Triplane stack with a leading snapshot axis [S, B, ...].
+
+    TPU-native shape of the reference's per-step generator
+    (`gaussian_diffusion.py:488-536`): the chain still compiles to scans
+    (no host round-trip per step); only the snapshots are materialized,
+    so memory is S x state instead of T x state."""
+    T = int(ts.shape[0])
+    k = max(1, min(int(snapshot_every), T))
+    n_full, rem = divmod(T, k)
+
+    def run(x, ts_slice):
+        def body(x2, t):
+            return step(x2, t), None
+        x, _ = jax.lax.scan(body, x, ts_slice)
+        return x
+
+    snaps = None
+    if n_full:
+        def chunk(x, ts_chunk):
+            x = run(x, ts_chunk)
+            return x, x
+        x, snaps = jax.lax.scan(chunk, x, ts[:n_full * k].reshape(n_full, k))
+    if rem:
+        x = run(x, ts[n_full * k:])
+        tail = jax.tree.map(lambda a: a[None], x)
+        snaps = tail if snaps is None else jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), snaps, tail)
+    return snaps
+
+
+def p_sample_loop_progressive(model: ModelFn, tables, cfg: DiffusionConfig,
+                              key: jax.Array, batch: int, channels: int,
+                              sizes: Tuple[int, int, int],
+                              noise: Optional[Triplane] = None,
+                              clip_denoised: bool = True,
+                              snapshot_every: int = 1) -> Triplane:
+    """DDPM sampling with intermediate snapshots
+    (`gaussian_diffusion.py:488-536`).  Returns a Triplane stack
+    [S, B, ...]; the last snapshot is bitwise-identical to
+    `p_sample_loop` with the same key."""
+    T = tables["betas"].shape[0]
+    key, nk = jax.random.split(key)
+    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+
+    def step(x, t):
+        step_key = jax.random.fold_in(key, t)
+        tb = jnp.full((batch,), t, dtype=jnp.int32)
+        return p_sample_step(model, tables, cfg, x, tb, step_key,
+                             clip_denoised=clip_denoised)
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    return _chunked_progressive(step, x, ts, snapshot_every)
+
+
+def ddim_sample_loop_progressive(model: ModelFn, tables,
+                                 cfg: DiffusionConfig, key: jax.Array,
+                                 batch: int, channels: int,
+                                 sizes: Tuple[int, int, int],
+                                 noise: Optional[Triplane] = None,
+                                 eta: float = 0.0,
+                                 clip_denoised: bool = True,
+                                 y0: Optional[Triplane] = None,
+                                 mask: Optional[Triplane] = None,
+                                 is_mask_t0: bool = False,
+                                 snapshot_every: int = 1) -> Triplane:
+    """DDIM sampling with intermediate snapshots
+    (`gaussian_diffusion.py:680-734`); same contract as
+    :func:`p_sample_loop_progressive`."""
+    T = tables["betas"].shape[0]
+    key, nk = jax.random.split(key)
+    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+
+    def step(x, t):
+        step_key = jax.random.fold_in(key, t)
+        tb = jnp.full((batch,), t, dtype=jnp.int32)
+        return ddim_sample_step(model, tables, cfg, x, tb, step_key, eta=eta,
+                                clip_denoised=clip_denoised, y0=y0, mask=mask,
+                                is_mask_t0=is_mask_t0)
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    return _chunked_progressive(step, x, ts, snapshot_every)
+
+
 def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
                      use_ddim: bool = False, eta: float = 0.0,
                      clip_denoised: bool = True, mesh=None):

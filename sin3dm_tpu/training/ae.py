@@ -626,6 +626,24 @@ class AETrainer:
             save_highres_mesh=save_highres_mesh, save_voxel=save_voxel,
             mtl_path=mtl_path, file_format=file_format, verbose=verbose)
 
+    def dispatch_geo_grids(self, feats, reso: int):
+        """Dispatch the dense geo-grid decodes for a batch of samples
+        WITHOUT blocking, returning handles for
+        :meth:`decode_texmesh_many`'s `grid_handles` parameter.
+
+        Lets callers interleave device work from elsewhere (e.g. the NEXT
+        sampling chain) between a chunk's grid dispatch and its CPU
+        geometry — the cross-chunk pipeline used by `cli.sample` and
+        `bench.py`."""
+        feats = [_strip_batch(f, keep=True) for f in feats]
+        handles = []
+        for feat in feats:
+            H, W = feat.xy.shape[-3], feat.xy.shape[-2]
+            D = feat.xz.shape[-2]
+            aabb = self._resize_aabb((H, W, D))
+            handles.append(self._dispatch_geo_grid(feat, reso, aabb))
+        return handles
+
     def decode_texmesh_many(self, save_dirs, feats, reso: int,
                             n_faces: int = 10000, n_surf_pc: int = -1,
                             texture_reso: int = 2048,
@@ -633,6 +651,7 @@ class AETrainer:
                             save_highres_mesh: bool = False,
                             save_voxel: bool = True, mtl_path=None,
                             file_format: str = "obj",
+                            grid_handles=None,
                             verbose: bool = False) -> None:
         """Mesh-extraction for a batch of samples, software-pipelined over
         JAX's async dispatch: every sample's dense SDF grid is dispatched
@@ -662,9 +681,13 @@ class AETrainer:
             aabbs.append(self._resize_aabb((H, W, D)))
 
         # stage 1: dispatch ALL dense geo grids (async; device round-robins
-        # them while the host chews on the first sample's geometry)
-        grid_handles = [self._dispatch_geo_grid(feat, reso, aabb)
-                        for feat, aabb in zip(feats, aabbs)]
+        # them while the host chews on the first sample's geometry) —
+        # unless the caller pre-dispatched them via dispatch_geo_grids
+        if grid_handles is None:
+            grid_handles = [self._dispatch_geo_grid(feat, reso, aabb)
+                            for feat, aabb in zip(feats, aabbs)]
+        else:
+            grid_handles = list(grid_handles)
 
         pending = None  # (save_dir, assemble kwargs) awaiting texels
         for idx, (save_dir, feat, new_aabb) in enumerate(

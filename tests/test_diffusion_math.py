@@ -166,3 +166,58 @@ def test_discretized_gaussian_ll_sums_to_one_ish():
     ll = gd.discretized_gaussian_log_likelihood(
         x, means=x, log_scales=jnp.full_like(x, -5.0))
     assert np.all(np.asarray(ll) > -3.0)
+
+
+def test_q_mean_variance():
+    """q(x_t|x_0) moments match the schedule tables
+    (`gaussian_diffusion.py:172-187`)."""
+    tables = _tables()
+    x0 = _x0(jax.random.PRNGKey(11))
+    t = jnp.full((2,), 33, jnp.int32)
+    mean, var, log_var = gd.q_mean_variance(tables, x0, t)
+    a = float(tables["sqrt_alphas_cumprod"][33])
+    acp = float(tables["alphas_cumprod"][33])
+    np.testing.assert_allclose(np.asarray(mean.xy), a * np.asarray(x0.xy),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var.xz)[0, 0, 0, 0], 1.0 - acp,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(log_var.yz)[0, 0, 0, 0],
+                               float(tables["log_one_minus_alphas_cumprod"][33]),
+                               rtol=1e-5)
+
+
+def _toy_model(xt, tt):
+    return xt.map(lambda p: jnp.tanh(p))
+
+
+@pytest.mark.parametrize("snapshot_every,n_expected", [(1, 20), (7, 3), (50, 1)])
+def test_p_sample_loop_progressive_matches_final(snapshot_every, n_expected):
+    """Last progressive snapshot is bitwise the plain-loop result; snapshot
+    count is ceil(T / snapshot_every) (reference generator semantics,
+    `gaussian_diffusion.py:488-536`)."""
+    from sin3dm_tpu.diffusion import sampling as sp
+    tables = _tables(20)
+    cfg = _cfg()
+    key = jax.random.PRNGKey(42)
+    final = sp.p_sample_loop(_toy_model, tables, cfg, key, 2, 4, (8, 6, 4))
+    snaps = sp.p_sample_loop_progressive(_toy_model, tables, cfg, key, 2, 4,
+                                         (8, 6, 4),
+                                         snapshot_every=snapshot_every)
+    assert snaps.xy.shape[0] == n_expected
+    np.testing.assert_array_equal(np.asarray(snaps.xy[-1]),
+                                  np.asarray(final.xy))
+    np.testing.assert_array_equal(np.asarray(snaps.yz[-1]),
+                                  np.asarray(final.yz))
+
+
+def test_ddim_sample_loop_progressive_matches_final():
+    from sin3dm_tpu.diffusion import sampling as sp
+    tables = _tables(100, "ddim10")
+    cfg = _cfg(original_num_steps=100)
+    key = jax.random.PRNGKey(7)
+    final = sp.ddim_sample_loop(_toy_model, tables, cfg, key, 1, 4, (8, 6, 4))
+    snaps = sp.ddim_sample_loop_progressive(_toy_model, tables, cfg, key, 1,
+                                            4, (8, 6, 4), snapshot_every=3)
+    assert snaps.xy.shape[0] == 4  # ceil(10/3)
+    np.testing.assert_array_equal(np.asarray(snaps.xy[-1]),
+                                  np.asarray(final.xy))
