@@ -18,7 +18,10 @@ python -m sin3dm_tpu.dataio.mesh_sampler \
 python "$PROJ_DIR/rendering/mvrender_script.py" \
     -s "$(dirname "$OBJ_PATH")" -bl "$BLENDER_PATH" || true
 
-# 3. train (autoencoder + diffusion)
+# 3. train (autoencoder + diffusion).  STEPS_PER_CALL fuses K optimizer
+# steps into one XLA dispatch — essential on high-RTT device links
+# (remote/tunneled chips); harmless locally.
+STEPS_PER_CALL=${STEPS_PER_CALL:-20}
 DATA_TAG=$(basename "$DATA_PATH" .npz)
 EXP_DIR=checkpoints/$DATA_TAG
 python -m sin3dm_tpu.cli.train \
@@ -27,7 +30,8 @@ python -m sin3dm_tpu.cli.train \
     --predict_xstart True \
     --enc_net_type skip \
     --enc_lr_decay 0.1 \
-    --enc_lr_split 0.2
+    --enc_lr_split 0.2 \
+    --steps_per_call "$STEPS_PER_CALL"
 
 # 4. sample
 python -m sin3dm_tpu.cli.sample \

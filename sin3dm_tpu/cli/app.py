@@ -25,7 +25,7 @@ def generate(tag: str, n_samples: int, seed: int, reso: int, n_faces: int,
     """Sample + decode, returning the GLB paths (`src/app.py:25-88`)."""
     from ..core import config as cfgmod
     from ..core.rng import seed_all
-    from .sample import decode, sample_diffusion
+    from .sample import generate as sample_generate
 
     seed_all(seed)
     args = types.SimpleNamespace(
@@ -33,14 +33,16 @@ def generate(tag: str, n_samples: int, seed: int, reso: int, n_faces: int,
         resize=(resize_x, resize_y, resize_z), use_ddim=use_ddim,
         timestep_respacing="ddim100" if use_ddim else "",
         reso=reso, n_faces=n_faces, texreso=texreso, vox=False,
-        copy_mtl=False, file_format="glb", seed=seed, app="generate")
+        copy_mtl=False, file_format="glb", seed=seed, app="generate",
+        data_path=None, pipeline_chunk=1)
     cfgmod.load_and_overwrite_args(
         args, os.path.join(cfgmod.encoding_log_dir(tag), "args.json"))
     cfgmod.load_and_overwrite_args(
         args, os.path.join(cfgmod.diffusion_log_dir(tag), "args.json"),
         ignore_keys=["timestep_respacing"])
-    paths = sample_diffusion(args)
-    decode(args, paths)
+    # pipelined sample+decode: chunk i+1's reverse chain runs on the
+    # device while chunk i's mesh geometry runs on the host
+    paths = sample_generate(args)
     return [os.path.join(os.path.dirname(p), "object.glb") for p in paths]
 
 
