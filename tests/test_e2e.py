@@ -88,6 +88,19 @@ def test_full_pipeline_cli(tmp_path, monkeypatch):
     assert 0.0 <= results["LP_IOU"] <= 1.0
     assert os.path.exists(f"{tag}/results/eval_results.json")
 
+    # ragged pipelined chunks: 3 samples in chunks of 2 (final chunk has
+    # a surplus row that is sampled and dropped)
+    sample_cli.main([
+        "--tag", tag, "--n_samples", "3", "--use_ddim", "true",
+        "--timestep_respacing", "ddim5", "--reso", "24",
+        "--n_faces", "200", "--texreso", "64",
+        "--output", "results_chunked", "--pipeline_chunk", "2"])
+    for i in range(3):
+        d = f"{tag}/results_chunked/{i:03d}"
+        assert os.path.exists(os.path.join(d, "feat.npz"))
+        assert os.path.exists(os.path.join(d, "object.obj"))
+    assert not os.path.exists(f"{tag}/results_chunked/003")
+
     # --resize retargeting (`sample.py:26-30`, aabb rescale
     # `model.py:351-360`): planes stretch 1.5x along z, fully
     # convolutional UNet + retargeted AABB still decode a mesh
