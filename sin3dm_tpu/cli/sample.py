@@ -90,7 +90,7 @@ def sample_diffusion(args):
 
     key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
     # chain cost is linear in batch: clamp to what is actually needed
-    batch_size = min(args.diff_batch_size, args.n_samples)
+    batch_size = max(1, min(args.diff_batch_size, args.n_samples))
     result_paths = []
     for i in range(0, args.n_samples, batch_size):
         bs = min(batch_size, args.n_samples - i)
@@ -175,8 +175,12 @@ def generate(args):
     Per chunk: block on its chain, dispatch its dense SDF grids, dispatch
     the NEXT chunk's chain, then run this chunk's CPU geometry — the next
     reverse chain runs on the device underneath the host geometry work.
-    Outputs are identical to sample_diffusion() + decode() (same per-chunk
-    PRNG stream); only the schedule differs.
+
+    The PRNG stream splits once per chunk, so a given (seed, chunk size)
+    is reproducible, but changing `--pipeline_chunk` (or switching to the
+    standalone sample_diffusion() + decode() stages, which chunk at
+    `--diff_batch_size`) redraws different samples for the same seed —
+    seed-stability is per chunking, not across chunkings.
     """
     sampler, C, sizes = _build_sampler(args)
     trainer = _make_trainer(args)
@@ -200,21 +204,15 @@ def generate(args):
 
     result_paths = []
     pending = None  # (paths, feats, grid_handles) for the previous chunk
-    starts = list(range(0, args.n_samples, chunk))
-    for idx, i in enumerate(starts):
+    for i in range(0, args.n_samples, chunk):
         bs = min(chunk, args.n_samples - i)
         key, sk = jax.random.split(key)
         samples = sampler(sk, chunk, C, sizes)  # async dispatch
-        if idx == 0:
-            # first chunk: nothing to overlap yet — block, dispatch grids,
-            # then dispatch the next chain before its CPU geometry
-            paths, feats = _save_chunk_npz(result_dir, samples, i, bs)
-            handles = trainer.dispatch_geo_grids(feats, args.reso)
-            pending = (paths, feats, handles)
-            result_paths.extend(paths)
-            continue
-        # decode the previous chunk while this chunk's chain runs
-        decode_chunk(*pending)
+        if pending is not None:
+            # decode the previous chunk while this chunk's chain runs
+            decode_chunk(*pending)
+        # blocks on this chunk's chain, then dispatches its grids ahead
+        # of the next chain so the next iteration's CPU never stalls
         paths, feats = _save_chunk_npz(result_dir, samples, i, bs)
         handles = trainer.dispatch_geo_grids(feats, args.reso)
         pending = (paths, feats, handles)

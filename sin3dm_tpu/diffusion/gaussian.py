@@ -94,10 +94,9 @@ def q_mean_variance(tables, x_start: Triplane,
     """Mean, variance, log-variance of q(x_t | x_0)
     (`gaussian_diffusion.py:172-187`)."""
     mean = extract(tables, "sqrt_alphas_cumprod", t, x_start) * x_start
-    one_minus = extract(tables, "alphas_cumprod", t, x_start).map(
-        lambda a: 1.0 - a)
+    var = extract(tables, "one_minus_alphas_cumprod", t, x_start)
     log_var = extract(tables, "log_one_minus_alphas_cumprod", t, x_start)
-    return mean, one_minus, log_var
+    return mean, var, log_var
 
 
 def q_posterior_mean(tables, x_start: Triplane, x_t: Triplane,
@@ -366,8 +365,7 @@ def prior_bpd(tables, x_start: Triplane) -> jax.Array:
     B = x_start.xy.shape[0]
     T = tables["betas"].shape[0]
     t = jnp.full((B,), T - 1, jnp.int32)
-    mean = extract(tables, "sqrt_alphas_cumprod", t, x_start) * x_start
-    logvar = extract(tables, "log_one_minus_alphas_cumprod", t, x_start)
+    mean, _, logvar = q_mean_variance(tables, x_start, t)
     kl = Triplane(*[normal_kl(m, lv, 0.0, 0.0)
                     for m, lv in zip(mean, logvar)])
     return _tri_mean_flat(kl) / jnp.log(2.0)

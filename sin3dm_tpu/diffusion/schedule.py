@@ -143,6 +143,10 @@ class DiffusionSchedule:
         ]
         out = {k: np.asarray(getattr(self, k), dtype=np.float32) for k in keys}
         out["log_betas"] = np.asarray(np.log(self.betas), dtype=np.float32)
+        # 1 - acp subtracted in float64 BEFORE the f32 cast: at small t the
+        # f32 round of acp~0.9999 would cost ~1e-3 relative error here
+        out["one_minus_alphas_cumprod"] = np.asarray(
+            1.0 - self.alphas_cumprod, dtype=np.float32)
         out["timestep_map"] = np.asarray(self.timestep_map, dtype=np.int32)
         return out
 
