@@ -331,7 +331,7 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
                       tex_planes, grid_res: Tuple[int, int, int],
                       slab: int = 8, geo_only: bool = False,
                       fused_heads: bool = False,
-                      out_dtype=None) -> jax.Array:
+                      out_dtype=None, quant_scale=None) -> jax.Array:
     """Dense AABB-grid decode WITHOUT gathers.
 
     Voxel centers of the AABB grid normalize to exactly the half-pixel
@@ -399,7 +399,16 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
 
     out = jax.lax.map(do_slab, jnp.arange(n_slabs))
     out = out.reshape((Nx + pad), Ny, Nz, -1)
-    if out_dtype is not None:
+    if quant_scale is not None:
+        # int8 wire format: the TSDF is clamped to +-quant_scale
+        # (threshold), so /scale*127 uses the full int8 range.  Marching
+        # cubes interpolates vertex positions from these values; the
+        # quantization step moves the surface by <= ~0.012 voxels at the
+        # default reso — far below fp16's win of halving the transfer
+        # again (the dense-grid path is device->host transfer-bound)
+        out = jnp.round(
+            jnp.clip(out / quant_scale, -1.0, 1.0) * 127.0).astype(jnp.int8)
+    elif out_dtype is not None:
         # cast INSIDE the program: the dense-grid result is device->host
         # transfer-bound, and fp16 halves the wire size (SDF is clamped to
         # +-threshold ~= 0.023, far inside fp16's precision there)

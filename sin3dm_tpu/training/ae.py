@@ -418,7 +418,7 @@ class AETrainer:
         fn = self._jit_grid_dense.get("fn")
         if fn is None:
             fn = jax.jit(ae.decode_grid_dense,
-                         static_argnums=(1, 4, 5, 6, 7, 8))
+                         static_argnums=(1, 4, 5, 6, 7, 8, 9))
             self._jit_grid_dense["fn"] = fn
         return fn
 
@@ -693,7 +693,13 @@ class AETrainer:
         for idx, (save_dir, feat, new_aabb) in enumerate(
                 zip(save_dirs, feats, aabbs)):
             t0 = time.perf_counter()
-            sdf_grid = np.asarray(grid_handles[idx], np.float32)[..., 0]
+            arr, quant = grid_handles[idx]
+            if quant is not None:  # int8 wire format -> dequantize on host
+                sdf_grid = (np.asarray(arr)[..., 0].astype(np.float32)
+                            * (quant / 127.0))
+            else:
+                sdf_grid = np.asarray(arr, np.float32)[..., 0]
+            arr = None
             grid_handles[idx] = None  # free device + host buffers
             t0 = tick(f"sdf grid {sdf_grid.shape}", t0)
             cpu = self._texmesh_geometry(
@@ -718,25 +724,30 @@ class AETrainer:
                                    **pending)
 
     def _dispatch_geo_grid(self, feat: Triplane, reso: int, aabb):
-        """Dispatch the dense geo-only grid decode; returns the DEVICE
-        array (fp16) without blocking.  The SDF channel is all the
-        geometry stage needs (skips the texture MLPs, 4x smaller
-        transfer), and fp16 halves the wire size again — the path is
-        transfer-bound, and the clamped TSDF fits fp16 easily."""
+        """Dispatch the dense geo-only grid decode; returns
+        (device array, quant scale or None) without blocking.  The SDF
+        channel is all the geometry stage needs (skips the texture MLPs,
+        4x smaller transfer); the clamped TSDF is further quantized to
+        int8 on device (surface shift <= ~0.012 voxels) — the path is
+        transfer-bound, not precision-bound.  The sdf-only data type
+        keeps fp16: its pipeline persists the grid values to
+        sdfgrid_r{reso}.npz."""
         from ..dataio.grid import grid_resolutions
         res = tuple(int(x) for x in
                     grid_resolutions(np.asarray(aabb), reso))
         self._ensure_decode_jits()
+        quant = (float(self.meta["threshold"])
+                 if self.acfg.data_type != "sdf" else None)
         with self._tpu_lock:
             gp, tp = self._jit_process(self.params, feat)
             out = self._grid_dense_jit()(
                 self.params, self.acfg, gp, tp, res, 8, True,
-                self._fused_heads(), jnp.float16)
+                self._fused_heads(), None if quant else jnp.float16, quant)
         try:
             out.copy_to_host_async()
         except Exception:
             pass  # backends without async host copies still work
-        return out
+        return out, quant
 
     def _dispatch_texels(self, feat: Triplane, points: np.ndarray, aabb,
                          batch_size: int = 2 ** 20):

@@ -84,3 +84,30 @@ def test_dense_grid_out_dtype_fp16():
     assert half.dtype == np.float16
     np.testing.assert_allclose(half.astype(np.float32), full,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_dense_grid_decode_int8_quant():
+    """int8 wire format: dequantized grid within one quant step of fp32
+    (the decode pipeline's transfer format, `_dispatch_geo_grid`)."""
+    cfg = ae.AEConfig(fdim_up=32, hidden_dim=64)
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    vol = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 16, 8, 4))
+    feat = ae.encode(params, cfg, vol)
+    geo_planes, tex_planes = ae.process_planes(params, cfg, feat)
+    res = (10, 10, 10)
+    thr = 2.0 / 256 * 3
+
+    ref = np.asarray(ae.decode_grid_dense(params, cfg, geo_planes,
+                                          tex_planes, res, slab=4,
+                                          geo_only=True))[..., 0]
+    q = np.asarray(ae.decode_grid_dense(params, cfg, geo_planes,
+                                        tex_planes, res, slab=4,
+                                        geo_only=True, quant_scale=thr))
+    assert q.dtype == np.int8
+    deq = q[..., 0].astype(np.float32) * (thr / 127.0)
+    step = thr / 127.0
+    np.testing.assert_allclose(deq, np.clip(ref, -thr, thr),
+                               atol=0.51 * step)
+    # sign structure preserved away from the quantization dead zone
+    far = np.abs(ref) > step
+    assert (np.sign(deq[far]) == np.sign(ref[far])).all()
