@@ -215,15 +215,17 @@ def main():
         t_chains = 0.0
         with tempfile.TemporaryDirectory() as d:
             pending = None  # (dirs, feats, grid_handles)
+            pending_asm = None  # deferred last-sample assembly per chunk
             n_chunks = (batch + chunk - 1) // chunk
             for ci in range(n_chunks):
                 samples = sampler(jax.random.PRNGKey(2 + p * 16 + ci),
                                   chunk, ucfg.in_channels, sizes)
                 if pending is not None:
-                    trainer.decode_texmesh_many(
+                    pending_asm = trainer.decode_texmesh_many(
                         pending[0], pending[1], reso, n_faces=n_faces,
                         texture_reso=texreso, save_voxel=False,
-                        grid_handles=pending[2])
+                        grid_handles=pending[2], pending_in=pending_asm,
+                        defer_last=True)
                 tb = time.perf_counter()
                 jax.block_until_ready(samples)  # chain done (real data dep)
                 t_chains += time.perf_counter() - tb
@@ -237,7 +239,7 @@ def main():
                 trainer.decode_texmesh_many(
                     pending[0], pending[1], reso, n_faces=n_faces,
                     texture_reso=texreso, save_voxel=False,
-                    grid_handles=pending[2])
+                    grid_handles=pending[2], pending_in=pending_asm)
         elapsed_pass = time.perf_counter() - t0
         results.append((elapsed_pass, t_chains, elapsed_pass - t_chains))
         log(f"pass {p + 1}/{max_passes}: total {elapsed_pass:.2f}s "

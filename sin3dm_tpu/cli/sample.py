@@ -195,12 +195,16 @@ def generate(args):
     chunk = max(1, min(int(getattr(args, "pipeline_chunk", 1) or 1),
                        args.diff_batch_size, args.n_samples))
 
-    def decode_chunk(paths, feats, handles):
-        trainer.decode_texmesh_many(
+    pending_asm = None  # deferred last-sample assembly (texels streaming)
+
+    def decode_chunk(paths, feats, handles, defer_last=True):
+        nonlocal pending_asm
+        pending_asm = trainer.decode_texmesh_many(
             [os.path.dirname(p) for p in paths], feats, args.reso,
             n_faces=args.n_faces, texture_reso=args.texreso,
             save_highres_mesh=False, n_surf_pc=-1, mtl_path=mtl_path,
-            file_format=args.file_format, grid_handles=handles)
+            file_format=args.file_format, grid_handles=handles,
+            pending_in=pending_asm, defer_last=defer_last)
 
     result_paths = []
     pending = None  # (paths, feats, grid_handles) for the previous chunk
@@ -209,7 +213,9 @@ def generate(args):
         key, sk = jax.random.split(key)
         samples = sampler(sk, chunk, C, sizes)  # async dispatch
         if pending is not None:
-            # decode the previous chunk while this chunk's chain runs
+            # decode the previous chunk while this chunk's chain runs;
+            # its last assembly is deferred so the texel transfer streams
+            # under this chunk's chain + geometry
             decode_chunk(*pending)
         # blocks on this chunk's chain, then dispatches its grids ahead
         # of the next chain so the next iteration's CPU never stalls
@@ -218,7 +224,7 @@ def generate(args):
         pending = (paths, feats, handles)
         result_paths.extend(paths)
     if pending is not None:
-        decode_chunk(*pending)
+        decode_chunk(*pending, defer_last=False)
     return result_paths
 
 

@@ -56,10 +56,17 @@ def remove_unreferenced_vertices(v: np.ndarray, f: np.ndarray
 def mesh_decimation(v: np.ndarray, f: np.ndarray,
                     face_count: int = 10000
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Quadric decimation (`utils3d.py:216-221` semantics)."""
+    """Quadric decimation (`utils3d.py:216-221` semantics).
+
+    prepass_mult=6: the vertex-clustering pre-pass hands the quadric
+    stage ~6x the target faces.  Measured on a 347k-tri marching-cubes
+    surface decimated to 10k: 0.99s/+0% -> 0.67s/+4% mean surface
+    distance vs mult 8 (distance is dominated by the 10k-face budget:
+    disabling the pre-pass entirely only improves it 7% at 2.5x the
+    cost)."""
     if len(f) <= face_count:
         return np.asarray(v, np.float64), np.asarray(f, np.int64)
-    return native.decimate(v, f, face_count)
+    return native.decimate(v, f, face_count, prepass_mult=6)
 
 
 def face_areas(v: np.ndarray, f: np.ndarray) -> np.ndarray:

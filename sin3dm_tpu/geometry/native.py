@@ -47,6 +47,7 @@ def lib() -> ctypes.CDLL:
     L.geo_connected_components.restype = ctypes.c_int
     L.geo_decimate.argtypes = [
         c_float_p, ctypes.c_int, c_int_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(c_float_p), c_int_p, ctypes.POINTER(c_int_p), c_int_p]
     L.geo_decimate.restype = ctypes.c_int
     L.geo_bvh_build.argtypes = [c_float_p, ctypes.c_int, c_int_p,
@@ -119,9 +120,13 @@ def face_components(faces: np.ndarray, n_verts: int
 
 
 def decimate(verts: np.ndarray, faces: np.ndarray,
-             target_faces: int) -> Tuple[np.ndarray, np.ndarray]:
+             target_faces: int,
+             prepass_mult: int = 8) -> Tuple[np.ndarray, np.ndarray]:
     """Quadric edge-collapse to ~target_faces (open3d
-    simplify_quadric_decimation replacement, `utils3d.py:216-221`)."""
+    simplify_quadric_decimation replacement, `utils3d.py:216-221`).
+
+    prepass_mult: vertex-clustering pre-pass keeps ~prepass_mult x
+    target_faces triangles for the quadric stage (<=0 disables)."""
     v = _f32(verts).reshape(-1)
     f = _i32(faces).reshape(-1)
     vp = c_float_p()
@@ -131,6 +136,7 @@ def decimate(verts: np.ndarray, faces: np.ndarray,
     rc = lib().geo_decimate(
         v.ctypes.data_as(c_float_p), len(v) // 3,
         f.ctypes.data_as(c_int_p), len(f) // 3, int(target_faces),
+        int(prepass_mult),
         ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
         ctypes.byref(nt))
     if rc != 0:

@@ -652,7 +652,8 @@ class AETrainer:
                             save_voxel: bool = True, mtl_path=None,
                             file_format: str = "obj",
                             grid_handles=None,
-                            verbose: bool = False) -> None:
+                            pending_in=None, defer_last: bool = False,
+                            verbose: bool = False):
         """Mesh-extraction for a batch of samples, software-pipelined over
         JAX's async dispatch: every sample's dense SDF grid is dispatched
         up front (the device computes and streams them back while the host
@@ -664,7 +665,15 @@ class AETrainer:
         Pipeline per sample: dense SDF grid (device) -> marching cubes,
         largest CC (`model.py:362-473`) -> renormalize -> decimation ->
         UV atlas + raster -> texel decode (device) -> seam dilation ->
-        obj/glb/pbr export."""
+        obj/glb/pbr export.
+
+        With `defer_last=True` the final sample's assembly (texel gather +
+        export) is NOT run; a pending token is returned for the caller to
+        pass back as `pending_in` on the next call (or to
+        :meth:`assemble_pending`).  Cross-chunk callers (cli.sample
+        generate, bench.py) use this so the last sample's texel transfer
+        streams underneath the next chunk's chain + geometry instead of
+        blocking at the end of every chunk."""
         import time
 
         def tick(label, t0):
@@ -689,7 +698,7 @@ class AETrainer:
         else:
             grid_handles = list(grid_handles)
 
-        pending = None  # (save_dir, assemble kwargs) awaiting texels
+        pending = pending_in  # assemble kwargs awaiting texels
         for idx, (save_dir, feat, new_aabb) in enumerate(
                 zip(save_dirs, feats, aabbs)):
             t0 = time.perf_counter()
@@ -718,10 +727,22 @@ class AETrainer:
             pending = dict(save_dir=save_dir, cpu=cpu,
                            texel_handle=texel_handle,
                            texture_reso=texture_reso)
+        if defer_last:
+            return pending
         if pending is not None:
             self._texmesh_assemble(mtl_path=mtl_path,
                                    file_format=file_format, tick=tick,
                                    **pending)
+        return None
+
+    def assemble_pending(self, pending, mtl_path=None,
+                         file_format: str = "obj") -> None:
+        """Finish a deferred assembly returned by
+        :meth:`decode_texmesh_many` with `defer_last=True`."""
+        if pending is not None:
+            self._texmesh_assemble(mtl_path=mtl_path,
+                                   file_format=file_format,
+                                   tick=lambda label, t0: t0, **pending)
 
     def _dispatch_geo_grid(self, feat: Triplane, reso: int, aabb):
         """Dispatch the dense geo-only grid decode; returns
