@@ -88,6 +88,14 @@ def test_full_pipeline_cli(tmp_path, monkeypatch):
     assert 0.0 <= results["LP_IOU"] <= 1.0
     assert os.path.exists(f"{tag}/results/eval_results.json")
 
+    # the gradio app's generate() logic is importable + runnable without
+    # gradio installed (`src/app.py:25-88` parity); exercises the GLB
+    # writer through the pipelined path
+    from sin3dm_tpu.cli import app as app_cli
+    glbs = app_cli.generate(tag, 1, 7, 24, 200, 64, 1.0, 1.0, 1.0, True)
+    assert len(glbs) == 1 and os.path.exists(glbs[0])
+    assert glbs[0].endswith("object.glb")
+
     # ragged pipelined chunks: 3 samples in chunks of 2 (final chunk has
     # a surplus row that is sampled and dropped)
     sample_cli.main([
