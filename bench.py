@@ -214,18 +214,14 @@ def main():
         t0 = time.perf_counter()
         t_chains = 0.0
         with tempfile.TemporaryDirectory() as d:
-            pending = None  # (dirs, feats, grid_handles)
-            pending_asm = None  # deferred last-sample assembly per chunk
             n_chunks = (batch + chunk - 1) // chunk
-            for ci in range(n_chunks):
-                samples = sampler(jax.random.PRNGKey(2 + p * 16 + ci),
-                                  chunk, ucfg.in_channels, sizes)
-                if pending is not None:
-                    pending_asm = trainer.decode_texmesh_many(
-                        pending[0], pending[1], reso, n_faces=n_faces,
-                        texture_reso=texreso, save_voxel=False,
-                        grid_handles=pending[2], pending_in=pending_asm,
-                        defer_last=True)
+
+            def sample_chunk(ci):
+                return sampler(jax.random.PRNGKey(2 + p * 16 + ci),
+                               chunk, ucfg.in_channels, sizes)
+
+            def prepare_chunk(ci, samples):
+                nonlocal t_chains
                 tb = time.perf_counter()
                 jax.block_until_ready(samples)  # chain done (real data dep)
                 t_chains += time.perf_counter() - tb
@@ -233,13 +229,15 @@ def main():
                 feats = decode_feats[lo:lo + chunk]
                 dirs = [os.path.join(d, f"{lo + j:03d}")
                         for j in range(len(feats))]
-                handles = trainer.dispatch_geo_grids(feats, reso)
-                pending = (dirs, feats, handles)
-            if pending is not None:
-                trainer.decode_texmesh_many(
-                    pending[0], pending[1], reso, n_faces=n_faces,
-                    texture_reso=texreso, save_voxel=False,
-                    grid_handles=pending[2], pending_in=pending_asm)
+                return dirs, feats
+
+            # the SAME pipeline the sample CLI ships (one copy of the
+            # schedule lives in AETrainer.pipelined_generate)
+            trainer.pipelined_generate(range(n_chunks), sample_chunk,
+                                       prepare_chunk, reso,
+                                       n_faces=n_faces,
+                                       texture_reso=texreso,
+                                       save_voxel=False)
         elapsed_pass = time.perf_counter() - t0
         results.append((elapsed_pass, t_chains, elapsed_pass - t_chains))
         log(f"pass {p + 1}/{max_passes}: total {elapsed_pass:.2f}s "

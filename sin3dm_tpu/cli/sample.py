@@ -195,36 +195,24 @@ def generate(args):
     chunk = max(1, min(int(getattr(args, "pipeline_chunk", 1) or 1),
                        args.diff_batch_size, args.n_samples))
 
-    pending_asm = None  # deferred last-sample assembly (texels streaming)
-
-    def decode_chunk(paths, feats, handles, defer_last=True):
-        nonlocal pending_asm
-        pending_asm = trainer.decode_texmesh_many(
-            [os.path.dirname(p) for p in paths], feats, args.reso,
-            n_faces=args.n_faces, texture_reso=args.texreso,
-            save_highres_mesh=False, n_surf_pc=-1, mtl_path=mtl_path,
-            file_format=args.file_format, grid_handles=handles,
-            pending_in=pending_asm, defer_last=defer_last)
-
     result_paths = []
-    pending = None  # (paths, feats, grid_handles) for the previous chunk
-    for i in range(0, args.n_samples, chunk):
+    key_box = [key]
+
+    def sample_chunk(i):
+        key_box[0], sk = jax.random.split(key_box[0])
+        return sampler(sk, chunk, C, sizes)  # async dispatch
+
+    def prepare_chunk(i, samples):
         bs = min(chunk, args.n_samples - i)
-        key, sk = jax.random.split(key)
-        samples = sampler(sk, chunk, C, sizes)  # async dispatch
-        if pending is not None:
-            # decode the previous chunk while this chunk's chain runs;
-            # its last assembly is deferred so the texel transfer streams
-            # under this chunk's chain + geometry
-            decode_chunk(*pending)
-        # blocks on this chunk's chain, then dispatches its grids ahead
-        # of the next chain so the next iteration's CPU never stalls
         paths, feats = _save_chunk_npz(result_dir, samples, i, bs)
-        handles = trainer.dispatch_geo_grids(feats, args.reso)
-        pending = (paths, feats, handles)
         result_paths.extend(paths)
-    if pending is not None:
-        decode_chunk(*pending, defer_last=False)
+        return [os.path.dirname(p) for p in paths], feats
+
+    trainer.pipelined_generate(
+        range(0, args.n_samples, chunk), sample_chunk, prepare_chunk,
+        args.reso, n_faces=args.n_faces, texture_reso=args.texreso,
+        save_highres_mesh=False, n_surf_pc=-1, mtl_path=mtl_path,
+        file_format=args.file_format)
     return result_paths
 
 

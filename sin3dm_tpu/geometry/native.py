@@ -29,11 +29,24 @@ def _build() -> None:
                    capture_output=True)
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than its source — a stale
+    binary with a changed C ABI would be called with mismatched argtypes
+    (segfault/heap corruption), so rebuild on source changes."""
+    if not os.path.exists(_SO_PATH):
+        return True
+    src = os.path.join(_CPP_DIR, "geometry.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return False
+
+
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
+    if _stale():
         _build()
     L = ctypes.CDLL(_SO_PATH)
 

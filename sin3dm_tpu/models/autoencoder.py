@@ -401,12 +401,15 @@ def decode_grid_dense(params: Dict, cfg: AEConfig, geo_planes: Triplane,
     out = out.reshape((Nx + pad), Ny, Nz, -1)
     if quant_scale is not None:
         # int8 wire format: the TSDF is clamped to +-quant_scale
-        # (threshold), so /scale*127 uses the full int8 range.  Marching
-        # cubes interpolates vertex positions from these values; the
-        # quantization step moves the surface by <= ~0.012 voxels at the
-        # default reso — far below fp16's win of halving the transfer
-        # again (the dense-grid path is device->host transfer-bound)
-        out = jnp.round(
+        # (threshold), so /scale*127 uses the full int8 range.  FLOOR
+        # quantization so the SIGN of every voxel survives exactly
+        # (negatives floor to <= -1, non-negatives to >= 0): voxel.npz
+        # occupancy (sdf < 0) is bit-identical to the fp32 grid.  The
+        # host dequantizes to bucket centers; marching cubes vertex
+        # positions move <= ~0.012 voxels at the default reso — far
+        # below fp16's win of halving the transfer again (the
+        # dense-grid path is device->host transfer-bound)
+        out = jnp.floor(
             jnp.clip(out / quant_scale, -1.0, 1.0) * 127.0).astype(jnp.int8)
     elif out_dtype is not None:
         # cast INSIDE the program: the dense-grid result is device->host

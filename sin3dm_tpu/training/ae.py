@@ -669,11 +669,11 @@ class AETrainer:
 
         With `defer_last=True` the final sample's assembly (texel gather +
         export) is NOT run; a pending token is returned for the caller to
-        pass back as `pending_in` on the next call (or to
-        :meth:`assemble_pending`).  Cross-chunk callers (cli.sample
-        generate, bench.py) use this so the last sample's texel transfer
-        streams underneath the next chunk's chain + geometry instead of
-        blocking at the end of every chunk."""
+        pass back as `pending_in` on the next call.  Cross-chunk callers
+        go through :meth:`pipelined_generate`, which threads the token so
+        the last sample's texel transfer streams underneath the next
+        chunk's chain + geometry instead of blocking at the end of every
+        chunk."""
         import time
 
         def tick(label, t0):
@@ -704,8 +704,10 @@ class AETrainer:
             t0 = time.perf_counter()
             arr, quant = grid_handles[idx]
             if quant is not None:  # int8 wire format -> dequantize on host
-                sdf_grid = (np.asarray(arr)[..., 0].astype(np.float32)
-                            * (quant / 127.0))
+                # floor-quantized: bucket k covers [k, k+1) -> center k+.5
+                # (keeps sdf<0 sign-exact and halves the offset)
+                sdf_grid = ((np.asarray(arr)[..., 0].astype(np.float32)
+                             + 0.5) * (quant / 127.0))
             else:
                 sdf_grid = np.asarray(arr, np.float32)[..., 0]
             arr = None
@@ -735,35 +737,67 @@ class AETrainer:
                                    **pending)
         return None
 
-    def assemble_pending(self, pending, mtl_path=None,
-                         file_format: str = "obj") -> None:
-        """Finish a deferred assembly returned by
-        :meth:`decode_texmesh_many` with `defer_last=True`."""
+    def pipelined_generate(self, chunks, sample_chunk, prepare_chunk,
+                           reso: int, **decode_kwargs) -> None:
+        """Cross-chunk sample+decode pipeline — the ONE copy of the
+        schedule used by both `cli.sample.generate` and `bench.py`.
+
+        Per chunk: dispatch its reverse chain (`sample_chunk`), decode
+        the previous chunk's meshes while that chain runs on the device
+        (the last sample's assembly deferred so its texel transfer
+        streams under the chain too), then block on the chain
+        (`prepare_chunk`) and dispatch this chunk's dense SDF grids ahead
+        of the next chain so the next iteration's CPU never stalls.
+
+        sample_chunk(desc) -> device samples, dispatched asynchronously.
+        prepare_chunk(desc, samples) -> (save_dirs, feats); this is where
+        the chain's completion is awaited (e.g. np transfer / npz save).
+        decode_kwargs are forwarded to :meth:`decode_texmesh_many`.
+        """
+        pending = None
+        pending_asm = None
+        for desc in chunks:
+            samples = sample_chunk(desc)
+            if pending is not None:
+                pending_asm = self.decode_texmesh_many(
+                    pending[0], pending[1], reso, grid_handles=pending[2],
+                    pending_in=pending_asm, defer_last=True,
+                    **decode_kwargs)
+            dirs, feats = prepare_chunk(desc, samples)
+            handles = self.dispatch_geo_grids(feats, reso)
+            pending = (dirs, feats, handles)
         if pending is not None:
-            self._texmesh_assemble(mtl_path=mtl_path,
-                                   file_format=file_format,
-                                   tick=lambda label, t0: t0, **pending)
+            self.decode_texmesh_many(
+                pending[0], pending[1], reso, grid_handles=pending[2],
+                pending_in=pending_asm, **decode_kwargs)
 
     def _dispatch_geo_grid(self, feat: Triplane, reso: int, aabb):
         """Dispatch the dense geo-only grid decode; returns
         (device array, quant scale or None) without blocking.  The SDF
         channel is all the geometry stage needs (skips the texture MLPs,
         4x smaller transfer); the clamped TSDF is further quantized to
-        int8 on device (surface shift <= ~0.012 voxels) — the path is
-        transfer-bound, not precision-bound.  The sdf-only data type
-        keeps fp16: its pipeline persists the grid values to
-        sdfgrid_r{reso}.npz."""
+        int8 on device (floor quantization: the sign of every voxel is
+        EXACTLY preserved, so voxel.npz occupancy matches the fp32 grid;
+        surface shift <= ~0.012 voxels) — the path is transfer-bound, not
+        precision-bound.  The sdf-only data type keeps fp16: its pipeline
+        persists the raw grid values to sdfgrid_r{reso}.npz.  Under
+        sdf_renorm the decoder emits threshold-NORMALIZED values (~[-1,1])
+        so the quant scale is 1.0, not the threshold."""
         from ..dataio.grid import grid_resolutions
         res = tuple(int(x) for x in
                     grid_resolutions(np.asarray(aabb), reso))
         self._ensure_decode_jits()
-        quant = (float(self.meta["threshold"])
-                 if self.acfg.data_type != "sdf" else None)
+        quant = None
+        if self.acfg.data_type != "sdf":
+            thr = float(self.meta["threshold"])
+            quant = 1.0 if self.tcfg.sdf_renorm else (
+                thr if thr > 0 else None)
         with self._tpu_lock:
             gp, tp = self._jit_process(self.params, feat)
             out = self._grid_dense_jit()(
                 self.params, self.acfg, gp, tp, res, 8, True,
-                self._fused_heads(), None if quant else jnp.float16, quant)
+                self._fused_heads(),
+                None if quant is not None else jnp.float16, quant)
         try:
             out.copy_to_host_async()
         except Exception:

@@ -104,10 +104,10 @@ def test_dense_grid_decode_int8_quant():
                                         tex_planes, res, slab=4,
                                         geo_only=True, quant_scale=thr))
     assert q.dtype == np.int8
-    deq = q[..., 0].astype(np.float32) * (thr / 127.0)
     step = thr / 127.0
+    deq = (q[..., 0].astype(np.float32) + 0.5) * step  # bucket centers
     np.testing.assert_allclose(deq, np.clip(ref, -thr, thr),
                                atol=0.51 * step)
-    # sign structure preserved away from the quantization dead zone
-    far = np.abs(ref) > step
-    assert (np.sign(deq[far]) == np.sign(ref[far])).all()
+    # floor quantization preserves the sign of EVERY voxel exactly:
+    # voxel.npz occupancy (sdf < 0) is bit-identical to the fp32 grid
+    assert ((deq < 0) == (ref < 0)).all()
