@@ -119,6 +119,8 @@ def _quick_fit_sphere_impl(acfg, sizes, n_steps):
 
 
 def main():
+    from sin3dm_tpu.core.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
     from sin3dm_tpu.diffusion.sampling import make_jit_sampler
     from sin3dm_tpu.diffusion.schedule import make_schedule

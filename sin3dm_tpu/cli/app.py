@@ -24,9 +24,11 @@ def generate(tag: str, n_samples: int, seed: int, reso: int, n_faces: int,
              resize_z: float, use_ddim: bool):
     """Sample + decode, returning the GLB paths (`src/app.py:25-88`)."""
     from ..core import config as cfgmod
+    from ..core.compile_cache import enable_compilation_cache
     from ..core.rng import seed_all
     from .sample import generate as sample_generate
 
+    enable_compilation_cache()
     seed_all(seed)
     args = types.SimpleNamespace(
         tag=tag, n_samples=n_samples, output="app_results",

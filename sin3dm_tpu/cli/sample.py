@@ -218,6 +218,8 @@ def generate(args):
 
 def main(argv=None):
     from ..core import config as cfgmod
+    from ..core.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = cfgmod.sample_args(argv)
     if args.vox:
         paths = sample_diffusion(args)

@@ -124,8 +124,10 @@ def _make_sample_viz_hook(ucfg, sizes):
 
 def main(argv=None):
     from ..core import config as cfgmod
+    from ..core.compile_cache import enable_compilation_cache
     from ..core.rng import seed_all
 
+    enable_compilation_cache()
     args = cfgmod.train_args(argv)
     seed_all(0)
 

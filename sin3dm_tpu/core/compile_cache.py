@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+Everything hot in this framework is a large jitted program (the whole
+1000-step sampling chain, K-step fused train steps, the dense grid
+decode), so a fresh process pays tens of seconds of XLA compilation
+before the first step — 40-170 s through a remote-compile TPU tunnel.
+The reference amortizes the analogous cuDNN autotune per process; XLA
+can do better and persist compiled executables across processes.
+Verified working over the remote-compile backend used in this
+environment (same tiny program: 0.57 s first process, 0.02 s second).
+
+Opt-out / redirect with SIN3DM_COMPILE_CACHE ("off" disables).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None
+                             ) -> Optional[str]:
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    Called by the CLIs (train/sample/app) and bench.py before any jit.
+    Returns the cache dir, or None when disabled."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "SIN3DM_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "sin3dm_tpu",
+                     "xla"))
+    if cache_dir in ("", "0", "off", "none"):
+        return None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # only executables worth persisting (skips trivial host programs)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        return None  # cache is an optimization, never a hard dependency
+    return cache_dir

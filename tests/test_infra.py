@@ -155,3 +155,18 @@ def test_diffusion_resume(tmp_path):
     assert loop2.resume_step == 10
     loop2.run(jax.random.PRNGKey(3), n_steps=20)
     assert find_resume_step(log_dir, 0.9999) == 20
+
+
+def test_compilation_cache_config(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at a durable dir; 'off'
+    disables (CLI entry points call this before any jit)."""
+    import jax
+    from sin3dm_tpu.core.compile_cache import enable_compilation_cache
+
+    d = str(tmp_path / "xla_cache")
+    assert enable_compilation_cache(d) == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+
+    monkeypatch.setenv("SIN3DM_COMPILE_CACHE", "off")
+    assert enable_compilation_cache() is None
