@@ -26,10 +26,12 @@ def enable_compilation_cache(cache_dir: Optional[str] = None
     Returns the cache dir, or None when disabled."""
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "SIN3DM_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "sin3dm_tpu",
-                     "xla"))
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "SIN3DM_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "sin3dm_tpu",
+                         "xla"))
+    # disable sentinels apply to the explicit argument AND the env var
     if cache_dir in ("", "0", "off", "none"):
         return None
     try:
