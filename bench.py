@@ -219,7 +219,10 @@ def main():
             n_chunks = (batch + chunk - 1) // chunk
 
             def sample_chunk(ci):
-                return sampler(jax.random.PRNGKey(2 + p * 16 + ci),
+                # fold_in twice: pass/chunk keys never collide regardless
+                # of n_chunks (a fixed stride would alias past 16 chunks)
+                k = jax.random.fold_in(jax.random.PRNGKey(2), p)
+                return sampler(jax.random.fold_in(k, ci),
                                chunk, ucfg.in_channels, sizes)
 
             def prepare_chunk(ci, samples):

@@ -88,16 +88,19 @@ def sample_diffusion(args):
     result_dir = os.path.join(args.tag, args.output)
     os.makedirs(result_dir, exist_ok=True)
 
-    key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+    from ..diffusion.sampling import sample_index_keys
+    seed_key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
     # chain cost is linear in batch: clamp to what is actually needed
     batch_size = max(1, min(args.diff_batch_size, args.n_samples))
     result_paths = []
     for i in range(0, args.n_samples, batch_size):
         bs = min(batch_size, args.n_samples - i)
-        key, sk = jax.random.split(key)
         # always sample at the full batch size: a ragged final batch would
-        # recompile the whole 1000-step program; surplus rows are dropped
-        samples = sampler(sk, batch_size, C, sizes)
+        # recompile the whole 1000-step program; surplus rows are dropped.
+        # per-sample keys from the GLOBAL index: sample j is identical for
+        # a given --seed regardless of batching/chunking or CLI path.
+        samples = sampler(sample_index_keys(seed_key, i, batch_size),
+                          batch_size, C, sizes)
         paths, _ = _save_chunk_npz(result_dir, samples, i, bs)
         result_paths.extend(paths)
     return result_paths
@@ -176,19 +179,21 @@ def generate(args):
     the NEXT chunk's chain, then run this chunk's CPU geometry — the next
     reverse chain runs on the device underneath the host geometry work.
 
-    The PRNG stream splits once per chunk, so a given (seed, chunk size)
-    is reproducible, but changing `--pipeline_chunk` (or switching to the
-    standalone sample_diffusion() + decode() stages, which chunk at
-    `--diff_batch_size`) redraws different samples for the same seed —
-    seed-stability is per chunking, not across chunkings.
+    Sample j is a pure function of (--seed, j): per-sample keys are
+    derived from the global sample index, so the drawn samples are
+    invariant to `--pipeline_chunk`, `--diff_batch_size`, and to switching
+    between this fused path and the standalone sample_diffusion()+decode()
+    stages.
     """
+    from ..diffusion.sampling import sample_index_keys
+
     sampler, C, sizes = _build_sampler(args)
     trainer = _make_trainer(args)
     mtl_path = _find_mtl(args)
 
     result_dir = os.path.join(args.tag, args.output)
     os.makedirs(result_dir, exist_ok=True)
-    key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+    seed_key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
 
     # small chunks pipeline best: the CPU geometry per sample (~2.5-3.5 s)
     # exceeds a batch-1 chain (~1.6 s), so the device always stays ahead
@@ -196,11 +201,10 @@ def generate(args):
                        args.diff_batch_size, args.n_samples))
 
     result_paths = []
-    key_box = [key]
 
     def sample_chunk(i):
-        key_box[0], sk = jax.random.split(key_box[0])
-        return sampler(sk, chunk, C, sizes)  # async dispatch
+        return sampler(sample_index_keys(seed_key, i, chunk),
+                       chunk, C, sizes)  # async dispatch
 
     def prepare_chunk(i, samples):
         bs = min(chunk, args.n_samples - i)
@@ -219,6 +223,8 @@ def generate(args):
 def main(argv=None):
     from ..core import config as cfgmod
     from ..core.compile_cache import enable_compilation_cache
+    from ..parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()  # SIN3DM_DIST=1: pod-slice DCN init
     enable_compilation_cache()
     args = cfgmod.sample_args(argv)
     if args.vox:

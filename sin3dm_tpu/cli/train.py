@@ -27,7 +27,8 @@ def train_ae(args, mesh=None):
                         cfgmod.ae_trainer_config_from_args(args), mesh=mesh)
     trainer.load_data(args.data_path)
     trainer.train(jax.random.PRNGKey(0),
-                  log_every=getattr(args, "log_interval", 100))
+                  log_every=getattr(args, "log_interval", 100),
+                  resume=bool(getattr(args, "resume", 0)))
 
     feat = trainer.encode()
     print("feat maps shape:", [p.shape for p in feat])
@@ -126,7 +127,9 @@ def main(argv=None):
     from ..core import config as cfgmod
     from ..core.compile_cache import enable_compilation_cache
     from ..core.rng import seed_all
+    from ..parallel.mesh import maybe_initialize_distributed
 
+    maybe_initialize_distributed()  # SIN3DM_DIST=1: pod-slice DCN init
     enable_compilation_cache()
     args = cfgmod.train_args(argv)
     seed_all(0)

@@ -78,6 +78,54 @@ def load_pytree(path: str, like: Any):
     return jax.tree_util.tree_unflatten(treedef, loaded), meta
 
 
+def peek_paths(path: str):
+    """Stored leaf paths in a checkpoint (no array data loaded)."""
+    data = np.load(path, allow_pickle=False)
+    return [k.split("|", 1)[1] for k in sorted(data.files)
+            if k != "__meta__"]
+
+
+def load_subtree(path: str, like: Any, prefix: str):
+    """Load only the leaves whose stored path starts with `prefix + '/'`
+    into the structure of `like`.
+
+    Lets a combined checkpoint (e.g. AE `ckpt_final.pth` holding
+    params + optimizer state + step, mirroring the reference's
+    net/optimizer/scheduler bundle, `src/encoding/model.py:141-157`) be
+    partially loaded by consumers that only need one component (decode
+    paths need params only).  Returns (tree, meta).
+    """
+    data = np.load(path, allow_pickle=False)
+    meta = None
+    if "__meta__" in data.files:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+    want = prefix + "/"
+    keys = sorted(k for k in data.files
+                  if k != "__meta__" and k.split("|", 1)[1].startswith(want))
+    leaves_ref, treedef = jax.tree_util.tree_flatten(like)
+    if len(keys) != len(leaves_ref):
+        raise ValueError(
+            f"checkpoint has {len(keys)} leaves under '{prefix}/', "
+            f"expected {len(leaves_ref)}")
+    flat_paths = [
+        _path_str(kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(like)[0]]
+    loaded = []
+    for k, ref_leaf, ref_path in zip(keys, leaves_ref, flat_paths):
+        stored_path = k.split("|", 1)[1][len(want):]
+        if stored_path != ref_path:
+            raise ValueError(
+                f"checkpoint structure mismatch under '{prefix}/': "
+                f"{stored_path} != {ref_path}")
+        a = data[k]
+        if tuple(a.shape) != tuple(np.shape(ref_leaf)):
+            raise ValueError(
+                f"shape mismatch at {prefix}/{stored_path}: "
+                f"{a.shape} vs {np.shape(ref_leaf)}")
+        loaded.append(jax.numpy.asarray(a))
+    return jax.tree_util.tree_unflatten(treedef, loaded), meta
+
+
 def save_meta_json(path: str, meta: Dict) -> None:
     d = os.path.dirname(path)
     if d:

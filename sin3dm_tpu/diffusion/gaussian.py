@@ -219,12 +219,14 @@ def condition_score(cond_fn, tables, cfg: DiffusionConfig, out: PMeanVar,
 
 
 def p_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
-                  x: Triplane, t: jax.Array, key: jax.Array,
+                  x: Triplane, t: jax.Array, key: Optional[jax.Array],
                   clip_denoised: bool = True,
-                  cond_fn=None) -> Triplane:
-    """One ancestral sampling step (`gaussian_diffusion.py:396-440`)."""
+                  cond_fn=None, noise: Optional[Triplane] = None) -> Triplane:
+    """One ancestral sampling step (`gaussian_diffusion.py:396-440`).
+    Pass either `key` (noise drawn here) or pre-drawn `noise`."""
     out = p_mean_variance(model, tables, cfg, x, t, clip_denoised)
-    noise = randn_like(key, x)
+    if noise is None:
+        noise = randn_like(key, x)
     nz = (t != 0).astype(x.dtype)
     nzt = Triplane(_bcast(nz, x.xy), _bcast(nz, x.xz), _bcast(nz, x.yz))
     mean = out.mean
@@ -235,14 +237,16 @@ def p_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
 
 
 def ddim_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
-                     x: Triplane, t: jax.Array, key: jax.Array,
+                     x: Triplane, t: jax.Array, key: Optional[jax.Array],
                      eta: float = 0.0, clip_denoised: bool = True,
                      y0: Optional[Triplane] = None,
                      mask: Optional[Triplane] = None,
                      is_mask_t0: bool = False,
-                     cond_fn=None) -> Triplane:
+                     cond_fn=None, noise: Optional[Triplane] = None
+                     ) -> Triplane:
     """One DDIM step, with optional mask-conditioned generation
-    (`gaussian_diffusion.py:538-600`) and optional score conditioning."""
+    (`gaussian_diffusion.py:538-600`) and optional score conditioning.
+    Pass either `key` (noise drawn here) or pre-drawn `noise`."""
     out = p_mean_variance(model, tables, cfg, x, t, clip_denoised)
     if cond_fn is not None:
         out = condition_score(cond_fn, tables, cfg, out, x, t)
@@ -269,7 +273,8 @@ def ddim_sample_step(model: ModelFn, tables, cfg: DiffusionConfig,
         mean_pred = xs * jnp.sqrt(ap) + jnp.sqrt(1 - ap - sigma ** 2) * ep
         return mean_pred, sigma
 
-    noise = randn_like(key, x)
+    if noise is None:
+        noise = randn_like(key, x)
     m_xy, s_xy = per_plane(pred_xstart.xy, eps.xy, ab.xy, ab_prev.xy)
     m_xz, s_xz = per_plane(pred_xstart.xz, eps.xz, ab.xz, ab_prev.xz)
     m_yz, s_yz = per_plane(pred_xstart.yz, eps.yz, ab.yz, ab_prev.yz)
@@ -300,11 +305,43 @@ def training_losses(model: ModelFn, tables, cfg: DiffusionConfig,
                     key: jax.Array) -> Dict[str, jax.Array]:
     """Per-plane MSE training loss (`gaussian_diffusion.py:771-856`).
 
-    Returns dict with per-example [B] losses: mse_xy, mse_xz, mse_yz, loss.
+    With a learned variance (``learn_sigma``: var_type LEARNED /
+    LEARNED_RANGE) the model emits 2C channels; the variance half is
+    trained through a variational-bound term with the mean FROZEN
+    (stop_gradient), exactly the reference's frozen-mean vb term
+    (`gaussian_diffusion.py:806-828`), scaled by T/1000 under
+    RESCALED_MSE.  KL/RESCALED_KL is dead code in the reference
+    (`gaussian_diffusion.py:792-803` raises) and rejected at config time.
+
+    Returns dict with per-example [B] losses: mse_xy, mse_xz, mse_yz,
+    loss (and vb when learn_sigma).
     """
+    if cfg.loss_kind in (LossKind.KL, LossKind.RESCALED_KL):
+        raise NotImplementedError(
+            "KL training is dead code in the reference "
+            "(gaussian_diffusion.py:792-803); use MSE/RESCALED_MSE")
     noise = randn_like(key, x_start)
     x_t = q_sample(tables, x_start, t, noise)
-    model_output = model(x_t, model_timesteps(tables, cfg, t))
+    out = model(x_t, model_timesteps(tables, cfg, t))
+
+    terms: Dict[str, jax.Array] = {}
+    learned = cfg.var_type in (VarType.LEARNED, VarType.LEARNED_RANGE)
+    if learned:
+        C = x_start.channels
+        model_output = out.map(lambda p: p[..., :C])
+        learned_var = out.map(lambda p: p[..., C:])
+        # vb learns the variance only: mean half is stop-gradient'ed
+        frozen_mean = model_output.map(jax.lax.stop_gradient)
+        vb = vb_terms_bpd(model, tables, cfg, x_start, x_t, t,
+                          clip_denoised=False,
+                          model_output=frozen_mean,
+                          learned_var=learned_var)["output"]
+        if cfg.loss_kind == LossKind.RESCALED_MSE:
+            # keep the vb term's magnitude independent of the step count
+            vb = vb * (tables["betas"].shape[0] / 1000.0)
+        terms["vb"] = vb
+    else:
+        model_output = out
 
     if cfg.mean_type == MeanType.PREVIOUS_X:
         target = q_posterior_mean(tables, x_start, x_t, t)
@@ -316,12 +353,12 @@ def training_losses(model: ModelFn, tables, cfg: DiffusionConfig,
     def mf(a):
         return jnp.mean(a, axis=tuple(range(1, a.ndim)))
 
-    terms = {
-        "mse_xy": mf((target.xy - model_output.xy) ** 2),
-        "mse_xz": mf((target.xz - model_output.xz) ** 2),
-        "mse_yz": mf((target.yz - model_output.yz) ** 2),
-    }
+    terms["mse_xy"] = mf((target.xy - model_output.xy) ** 2)
+    terms["mse_xz"] = mf((target.xz - model_output.xz) ** 2)
+    terms["mse_yz"] = mf((target.yz - model_output.yz) ** 2)
     terms["loss"] = terms["mse_xy"] + terms["mse_xz"] + terms["mse_yz"]
+    if learned:
+        terms["loss"] = terms["loss"] + terms["vb"]
     return terms
 
 
@@ -338,12 +375,20 @@ def _tri_mean_flat(t: Triplane) -> jax.Array:
 
 def vb_terms_bpd(model: ModelFn, tables, cfg: DiffusionConfig,
                  x_start: Triplane, x_t: Triplane, t: jax.Array,
-                 clip_denoised: bool = True) -> Dict[str, object]:
+                 clip_denoised: bool = True,
+                 model_output: Optional[Triplane] = None,
+                 learned_var: Optional[Triplane] = None) -> Dict[str, object]:
     """One variational-bound term in bits (`gaussian_diffusion.py:736-769`):
-    KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)), or the decoder NLL at t=0."""
+    KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)), or the decoder NLL at t=0.
+
+    `model_output`/`learned_var` reuse a forward pass already computed by
+    the caller (the frozen-mean training path) instead of re-invoking the
+    model."""
     true_mean = q_posterior_mean(tables, x_start, x_t, t)
     true_logvar = extract(tables, "posterior_log_variance_clipped", t, x_t)
-    out = p_mean_variance(model, tables, cfg, x_t, t, clip_denoised)
+    out = p_mean_variance(model, tables, cfg, x_t, t, clip_denoised,
+                          model_output=model_output,
+                          learned_var=learned_var)
 
     kl = Triplane(*[normal_kl(tm, tl, m, lv) for tm, tl, m, lv in
                     zip(true_mean, true_logvar, out.mean,

@@ -21,21 +21,102 @@ from .gaussian import (DiffusionConfig, ModelFn, ddim_sample_step,
                        p_sample_step)
 
 
+def sample_index_keys(seed_key: jax.Array, start: int,
+                      batch: int) -> jax.Array:
+    """Per-sample keys derived from GLOBAL sample indices.
+
+    Passing the resulting key batch to the samplers makes sample `i`
+    depend only on `(seed_key, i)` — identical across any chunking of the
+    sampling loop (``--pipeline_chunk``, ``--diff_batch_size``) and across
+    the mesh/vox CLI paths.
+    """
+    idx = jnp.arange(start, start + batch)
+    return jax.vmap(lambda i: jax.random.fold_in(seed_key, i))(idx)
+
+
+def _is_key_batch(key: jax.Array, batch: int) -> bool:
+    """True when `key` is a [batch] stack of per-sample keys (typed keys
+    have shape (batch,), legacy uint32 keys (batch, 2))."""
+    if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim == 1 and key.shape[0] == batch
+    return key.ndim == 2 and key.shape[0] == batch
+
+
+def _randn_per_sample(keys: jax.Array, channels: int,
+                      sizes: Tuple[int, int, int],
+                      dtype=jnp.float32) -> Triplane:
+    """Batch of per-sample standard-normal triplanes: row j is a pure
+    function of keys[j]."""
+    H, W, D = sizes
+
+    def one(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return Triplane(
+            jax.random.normal(k1, (H, W, channels), dtype),
+            jax.random.normal(k2, (H, D, channels), dtype),
+            jax.random.normal(k3, (W, D, channels), dtype))
+
+    return jax.vmap(one)(keys)
+
+
+def _randn_per_sample_like(keys: jax.Array, x: Triplane) -> Triplane:
+    def one(k, xy, xz, yz):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return Triplane(jax.random.normal(k1, xy.shape, xy.dtype),
+                        jax.random.normal(k2, xz.shape, xz.dtype),
+                        jax.random.normal(k3, yz.shape, yz.dtype))
+    return jax.vmap(one)(keys, x.xy, x.xz, x.yz)
+
+
+def _init_noise_and_stepper(key, batch, channels, sizes,
+                            noise: Optional[Triplane]):
+    """Shared key plumbing for the sampling loops.
+
+    Single key (legacy): joint batch draws, step noise from fold_in(key, t).
+    Key batch [batch]: per-sample draws — sample j's chain is a pure
+    function of key[j], so results are chunking-invariant.
+    Returns (x0, step_noise_fn) with step_noise_fn(x, t_scalar) -> Triplane.
+    """
+    if _is_key_batch(key, batch):
+        keys = key
+        init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0xFFFFFFFF))(keys)
+        x = (noise if noise is not None
+             else _randn_per_sample(init_keys, channels, sizes))
+
+        def step_noise(x, t):
+            kt = jax.vmap(lambda k: jax.random.fold_in(k, t))(keys)
+            return _randn_per_sample_like(kt, x)
+
+        return x, step_noise
+
+    key, nk = jax.random.split(key)
+    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+
+    def step_noise(x, t):
+        from ..core.triplane import randn_like
+        return randn_like(jax.random.fold_in(key, t), x)
+
+    return x, step_noise
+
+
 def p_sample_loop(model: ModelFn, tables, cfg: DiffusionConfig,
                   key: jax.Array, batch: int, channels: int,
                   sizes: Tuple[int, int, int],
                   noise: Optional[Triplane] = None,
                   clip_denoised: bool = True) -> Triplane:
-    """Ancestral DDPM sampling from pure noise. Returns the final sample."""
+    """Ancestral DDPM sampling from pure noise. Returns the final sample.
+
+    `key` is either one key (joint batch draws) or a [batch] key stack
+    from :func:`sample_index_keys` (per-sample, chunking-invariant)."""
     T = tables["betas"].shape[0]
-    key, nk = jax.random.split(key)
-    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+    x, step_noise = _init_noise_and_stepper(key, batch, channels, sizes,
+                                            noise)
 
     def body(x, t):
-        step_key = jax.random.fold_in(key, t)
         tb = jnp.full((batch,), t, dtype=jnp.int32)
-        x = p_sample_step(model, tables, cfg, x, tb, step_key,
-                          clip_denoised=clip_denoised)
+        x = p_sample_step(model, tables, cfg, x, tb, None,
+                          clip_denoised=clip_denoised,
+                          noise=step_noise(x, t))
         return x, None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
@@ -52,17 +133,18 @@ def ddim_sample_loop(model: ModelFn, tables, cfg: DiffusionConfig,
                      mask: Optional[Triplane] = None,
                      is_mask_t0: bool = False) -> Triplane:
     """DDIM sampling over the (respaced) schedule, optional masked
-    generation (`gaussian_diffusion.py:566-577`)."""
+    generation (`gaussian_diffusion.py:566-577`).  `key` as in
+    :func:`p_sample_loop`."""
     T = tables["betas"].shape[0]
-    key, nk = jax.random.split(key)
-    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+    x, step_noise = _init_noise_and_stepper(key, batch, channels, sizes,
+                                            noise)
 
     def body(x, t):
-        step_key = jax.random.fold_in(key, t)
         tb = jnp.full((batch,), t, dtype=jnp.int32)
-        x = ddim_sample_step(model, tables, cfg, x, tb, step_key, eta=eta,
+        x = ddim_sample_step(model, tables, cfg, x, tb, None, eta=eta,
                              clip_denoised=clip_denoised, y0=y0, mask=mask,
-                             is_mask_t0=is_mask_t0)
+                             is_mask_t0=is_mask_t0,
+                             noise=step_noise(x, t))
         return x, None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
@@ -114,14 +196,14 @@ def p_sample_loop_progressive(model: ModelFn, tables, cfg: DiffusionConfig,
     [S, B, ...]; the last snapshot is bitwise-identical to
     `p_sample_loop` with the same key."""
     T = tables["betas"].shape[0]
-    key, nk = jax.random.split(key)
-    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+    x, step_noise = _init_noise_and_stepper(key, batch, channels, sizes,
+                                            noise)
 
     def step(x, t):
-        step_key = jax.random.fold_in(key, t)
         tb = jnp.full((batch,), t, dtype=jnp.int32)
-        return p_sample_step(model, tables, cfg, x, tb, step_key,
-                             clip_denoised=clip_denoised)
+        return p_sample_step(model, tables, cfg, x, tb, None,
+                             clip_denoised=clip_denoised,
+                             noise=step_noise(x, t))
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     return _chunked_progressive(step, x, ts, snapshot_every)
@@ -142,15 +224,15 @@ def ddim_sample_loop_progressive(model: ModelFn, tables,
     (`gaussian_diffusion.py:680-734`); same contract as
     :func:`p_sample_loop_progressive`."""
     T = tables["betas"].shape[0]
-    key, nk = jax.random.split(key)
-    x = noise if noise is not None else randn(nk, batch, channels, sizes)
+    x, step_noise = _init_noise_and_stepper(key, batch, channels, sizes,
+                                            noise)
 
     def step(x, t):
-        step_key = jax.random.fold_in(key, t)
         tb = jnp.full((batch,), t, dtype=jnp.int32)
-        return ddim_sample_step(model, tables, cfg, x, tb, step_key, eta=eta,
+        return ddim_sample_step(model, tables, cfg, x, tb, None, eta=eta,
                                 clip_denoised=clip_denoised, y0=y0, mask=mask,
-                                is_mask_t0=is_mask_t0)
+                                is_mask_t0=is_mask_t0,
+                                noise=step_noise(x, t))
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     return _chunked_progressive(step, x, ts, snapshot_every)
@@ -172,9 +254,13 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
         noise = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..core.triplane import randn as _randn
-            key, nk = jax.random.split(key)
-            noise = _randn(nk, batch, channels, sizes)
+            if _is_key_batch(key, batch):
+                init_keys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, 0xFFFFFFFF))(key)
+                noise = _randn_per_sample(init_keys, channels, sizes)
+            else:
+                key, nk = jax.random.split(key)
+                noise = randn(nk, batch, channels, sizes)
             sh = NamedSharding(mesh, P("data"))
             noise = noise.map(
                 lambda p: jax.lax.with_sharding_constraint(p, sh))

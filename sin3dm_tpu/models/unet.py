@@ -261,7 +261,10 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
 def init_unet(key: jax.Array, cfg: UNetConfig) -> Dict:
     """Build the parameter pytree mirroring the reference's construction
     loop (`unet_triplane.py:377-449`)."""
-    keys = iter(jax.random.split(key, 64))
+    # 2 time-embed + in_conv + down/up resblocks + out conv; keep >= 64 so
+    # default-config key streams (and thus seeds) stay identical to r1
+    n_keys = max(64, 4 + 2 * len(cfg.channel_mult) * cfg.num_res_blocks)
+    keys = iter(jax.random.split(key, n_keys))
     mc = cfg.model_channels
     emb_dim = cfg.time_embed_dim
 
@@ -292,8 +295,14 @@ def init_unet(key: jax.Array, cfg: UNetConfig) -> Dict:
     up: List[List[Dict]] = []
     for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
         blocks = []
+        # ONE skip concat per level (see unet_apply): its width is consumed
+        # by the level's first block.  Identical to the reference for
+        # num_res_blocks=1 (`unet_triplane.py:407-434`); for >1 blocks the
+        # reference's own bookkeeping underflows (it pops per block but
+        # appends per level), so this is the working generalization.
+        ich_level = input_block_chans.pop()
         for i in range(cfg.num_res_blocks):
-            ich = input_block_chans.pop()
+            ich = ich_level if i == 0 else 0
             if level == len(cfg.channel_mult) - 1 and i == 0:
                 ich = 0
             blocks.append(_resblock_init(

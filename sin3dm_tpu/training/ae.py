@@ -66,6 +66,19 @@ class AEData(NamedTuple):
 SHUFFLE_SEED = 12345
 
 
+def host_shuffle_permutations(n_grid: int, n_near: int):
+    """THE single source of the host-side point-table shuffle.
+
+    `load_ae_data` applies (grid_perm, near_perm) to the point tables;
+    `AETrainer.evaluate` re-derives grid_perm to align its dense
+    grid-ordered predictions with the shuffled ground truth.  Both sides
+    MUST call this function — the grid permutation is drawn first from
+    the seeded RNG, and changing the draw order silently breaks the
+    evaluate alignment."""
+    rng = np.random.default_rng(SHUFFLE_SEED)
+    return rng.permutation(n_grid), rng.permutation(n_near)
+
+
 def compute_featmap_size(grid_shape, fm_reso: int) -> Tuple[int, int, int]:
     """Per-axis featmap size scaled by grid extent, floored to even
     (`model.py:75-76`)."""
@@ -126,12 +139,12 @@ def load_ae_data(npz_path: str, cfg: AETrainerConfig,
     # shuffle the point tables ONCE on the host: the train step then draws
     # batches as contiguous random-offset slices (lax.dynamic_slice)
     # instead of 65k-row gathers — XLA lowers large-table gathers on TPU
-    # to serial loops (~100x slower than the slice).  SHUFFLE_SEED is
-    # shared with AETrainer.evaluate, which regenerates the permutation to
-    # align dense (grid-ordered) predictions with the shuffled targets.
-    shuf = np.random.default_rng(SHUFFLE_SEED)
-    grid_perm = shuf.permutation(sdf_grid_flat.shape[0])
-    near_perm = shuf.permutation(pts_near.shape[0])
+    # to serial loops (~100x slower than the slice).  The permutations
+    # come from host_shuffle_permutations — the ONE derivation shared with
+    # AETrainer.evaluate, which must align dense (grid-ordered)
+    # predictions with these shuffled targets.
+    grid_perm, near_perm = host_shuffle_permutations(
+        sdf_grid_flat.shape[0], pts_near.shape[0])
     pts_grid_flat = pts_grid.reshape(-1, 3)[grid_perm]
     sdf_grid_flat = sdf_grid_flat[grid_perm]
     pts_near = pts_near[near_perm]
@@ -461,16 +474,33 @@ class AETrainer:
                                             self.acfg.data_type)
 
     def train(self, key: jax.Array, n_iters: Optional[int] = None,
-              log_every: int = 100, eval_every: Optional[int] = None):
+              log_every: int = 100, eval_every: Optional[int] = None,
+              resume: bool = False, save_every: Optional[int] = None):
+        """Fit the AE.  `resume=True` continues from `ckpt_latest.pth`
+        (params + optimizer state + step — the working version of the
+        reference's saved-but-never-loaded optimizer bundle,
+        `model.py:141-176`); `save_every` writes that intermediate
+        checkpoint periodically (default: the eval cadence)."""
         assert self.data is not None
         n_iters = n_iters or self.tcfg.enc_n_iters
         init_key, key = jax.random.split(key)
+        start_iter = 0
+        resumed = None
+        if resume:
+            resumed = self.load_train_state("latest")
         if self.params is None:
             self.params = ae.init_autoencoder(init_key, self.acfg)
         labels = ae.geo_param_labels(self.params)
         opt = make_optimizer(self.tcfg, labels)
-        state = AETrainState(self.params, opt.init(self.params),
-                             jnp.zeros((), jnp.int32))
+        if resumed is not None:
+            params, opt_state, start_iter = resumed
+            from ..core import logger as _lg
+            _lg.log(f"AE resume from iter {start_iter}")
+            state = AETrainState(params, opt_state,
+                                 jnp.asarray(start_iter, jnp.int32))
+        else:
+            state = AETrainState(self.params, opt.init(self.params),
+                                 jnp.zeros((), jnp.int32))
         step_fn = make_train_step(self.acfg, self.tcfg, self.data,
                                   self.meta["threshold"], labels,
                                   mesh=self.mesh)
@@ -482,12 +512,13 @@ class AETrainer:
             tb = None
         from ..core.profiling import step_annotation
         eval_every = eval_every or max(n_iters // 5, 1)
+        save_every = save_every or eval_every
         K = max(self.tcfg.steps_per_call, 1)
         # host-constructed raw keys (see DiffusionTrainLoop.run): avoids a
         # device dispatch per loop iteration for jax.random.split
         base = int(np.asarray(jax.random.key_data(key) if hasattr(
             jax.random, "key_data") else key).ravel()[-1])
-        for i in range(0, n_iters, K):
+        for i in range(start_iter, n_iters, K):
             sk = jnp.asarray(np.array([base & 0xFFFFFFFF, i], np.uint32))
             with step_annotation("ae_train", i):
                 state, metrics = step_fn(state, self.data, sk)
@@ -509,12 +540,18 @@ class AETrainer:
                                   draw_scalar_field2D(
                                       np.asarray(plane)[0, :, :, 0]),
                                   global_step=i)
+            if (i + K) % save_every < K and i + K < n_iters:
+                # intermediate resumable checkpoint (params + opt + step)
+                self.params = jax.device_get(state.params)
+                self.save_ckpt("latest", opt_state=state.opt_state,
+                               step=i + K)
         self.params = jax.device_get(state.params)
 
         eval_stat = self.evaluate()
         with open(os.path.join(self.log_dir, "eval_stat.json"), "w") as f:
             json.dump(eval_stat, f, indent=2)
-        self.save_ckpt("final")
+        # final checkpoint bundles the optimizer state too (ref model.py:141)
+        self.save_ckpt("final", opt_state=state.opt_state, step=n_iters)
         return eval_stat
 
     # -- encode / decode -----------------------------------------------------
@@ -756,20 +793,43 @@ class AETrainer:
         """
         pending = None
         pending_asm = None
-        for desc in chunks:
-            samples = sample_chunk(desc)
+        try:
+            for desc in chunks:
+                samples = sample_chunk(desc)
+                if pending is not None:
+                    pending_asm = self.decode_texmesh_many(
+                        pending[0], pending[1], reso,
+                        grid_handles=pending[2],
+                        pending_in=pending_asm, defer_last=True,
+                        **decode_kwargs)
+                    pending = None
+                dirs, feats = prepare_chunk(desc, samples)
+                handles = self.dispatch_geo_grids(feats, reso)
+                pending = (dirs, feats, handles)
             if pending is not None:
-                pending_asm = self.decode_texmesh_many(
+                self.decode_texmesh_many(
                     pending[0], pending[1], reso, grid_handles=pending[2],
-                    pending_in=pending_asm, defer_last=True,
-                    **decode_kwargs)
-            dirs, feats = prepare_chunk(desc, samples)
-            handles = self.dispatch_geo_grids(feats, reso)
-            pending = (dirs, feats, handles)
-        if pending is not None:
-            self.decode_texmesh_many(
-                pending[0], pending[1], reso, grid_handles=pending[2],
-                pending_in=pending_asm, **decode_kwargs)
+                    pending_in=pending_asm, **decode_kwargs)
+                pending = None
+                pending_asm = None
+        except BaseException:
+            # Drain deferred work so already-sampled chunks still export:
+            # a failure mid-pipeline must not silently drop the assembly of
+            # earlier samples whose decode was deferred (ADVICE r1).
+            try:
+                if pending is not None:
+                    self.decode_texmesh_many(
+                        pending[0], pending[1], reso,
+                        grid_handles=pending[2],
+                        pending_in=pending_asm, **decode_kwargs)
+                elif pending_asm is not None:
+                    self._texmesh_assemble(
+                        mtl_path=decode_kwargs.get("mtl_path"),
+                        file_format=decode_kwargs.get("file_format", "obj"),
+                        tick=lambda label, t0: t0, **pending_asm)
+            except Exception:
+                pass  # the original error is what the caller must see
+            raise
 
     def _dispatch_geo_grid(self, feat: Triplane, reso: int, aabb):
         """Dispatch the dense geo-only grid decode; returns
@@ -977,9 +1037,9 @@ class AETrainer:
             pred = np.array(self._grid_dense_jit()(
                 self.params, self.acfg, gp, tp, tuple(grid_shape), 8,
                 True, self._fused_heads())).reshape(-1, 1)
-            # align with the shuffled ground-truth table (load_ae_data)
-            perm = np.random.default_rng(SHUFFLE_SEED).permutation(
-                pred.shape[0])
+            # align with the shuffled ground-truth table: same derivation
+            # as load_ae_data (host_shuffle_permutations, grid drawn first)
+            perm, _ = host_shuffle_permutations(pred.shape[0], 0)
             pred = pred[perm]
         else:
             pred = self.decode_batch(feat,
@@ -998,15 +1058,54 @@ class AETrainer:
 
     # -- checkpoints (`model.py:141-176`) ------------------------------------
 
-    def save_ckpt(self, name: str) -> None:
+    def save_ckpt(self, name: str, opt_state=None, step: int = 0) -> None:
+        """`ckpt_{name}.pth`.  With `opt_state`, the file bundles
+        params + optimizer state + step — the reference's
+        net/optimizer/scheduler checkpoint (`model.py:141-157`), so a
+        preempted AE run resumes with its exact training trajectory."""
         path = os.path.join(self.log_dir, f"ckpt_{name}.pth")
-        ckpt.save_pytree(path, self.params, meta=self.meta)
+        if opt_state is None:
+            ckpt.save_pytree(path, self.params, meta=self.meta)
+        else:
+            tree = {"params": self.params,
+                    "opt_state": jax.device_get(opt_state),
+                    "step": np.asarray(step, np.int32)}
+            ckpt.save_pytree(path, tree, meta=self.meta)
 
     def load_ckpt(self, name: str) -> None:
+        """Load params (+meta) — handles both the params-only layout and
+        the combined params/opt_state/step layout."""
         path = os.path.join(self.log_dir, f"ckpt_{name}.pth")
         if self.params is None:
             self.params = ae.init_autoencoder(jax.random.PRNGKey(0),
                                               self.acfg)
-        self.params, self.meta = ckpt.load_pytree(path, self.params)
+        if any(p.startswith("params/") for p in ckpt.peek_paths(path)):
+            self.params, self.meta = ckpt.load_subtree(path, self.params,
+                                                       "params")
+        else:  # legacy params-only checkpoint
+            self.params, self.meta = ckpt.load_pytree(path, self.params)
+
+    def load_train_state(self, name: str):
+        """Load (params, opt_state, step) for resume; returns None when the
+        checkpoint is absent or has no optimizer state."""
+        path = os.path.join(self.log_dir, f"ckpt_{name}.pth")
+        if not os.path.exists(path):
+            return None
+        paths = ckpt.peek_paths(path)
+        if not any(p.startswith("opt_state/") for p in paths):
+            return None
+        if self.params is None:
+            self.params = ae.init_autoencoder(jax.random.PRNGKey(0),
+                                              self.acfg)
+        labels = ae.geo_param_labels(self.params)
+        opt = make_optimizer(self.tcfg, labels)
+        template = {"params": self.params,
+                    "opt_state": opt.init(self.params),
+                    "step": np.zeros((), np.int32)}
+        tree, meta = ckpt.load_pytree(path, template)
+        self.params = tree["params"]
+        if meta:
+            self.meta = meta
+        return tree["params"], tree["opt_state"], int(tree["step"])
 
 

@@ -180,7 +180,7 @@ def make_train_step(model_apply, tables, dcfg: DiffusionConfig,
 def quartile_log(metrics: Dict, num_timesteps: int) -> None:
     """Reference-style quartile loss keys (`train_util.py:283-293`)."""
     t = np.asarray(metrics["t"])
-    for key in ("loss", "mse_xy", "mse_xz", "mse_yz"):
+    for key in ("loss", "mse_xy", "mse_xz", "mse_yz", "vb"):
         if key not in metrics:
             continue
         vals = np.asarray(metrics[key])

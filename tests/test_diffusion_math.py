@@ -221,3 +221,69 @@ def test_ddim_sample_loop_progressive_matches_final():
     assert snaps.xy.shape[0] == 4  # ceil(10/3)
     np.testing.assert_array_equal(np.asarray(snaps.xy[-1]),
                                   np.asarray(final.xy))
+
+
+class TestChunkInvariantKeys:
+    """Per-sample index keys make sample j a pure function of (seed, j) —
+    invariant to chunking (ADVICE r1: --pipeline_chunk changed samples)."""
+
+    def test_p_sample_loop_chunking_invariance(self):
+        from sin3dm_tpu.diffusion import sampling as sp
+        tables = _tables(20)
+        cfg = _cfg()
+        seed_key = jax.random.PRNGKey(3)
+        # one batch of 4 vs two chunks of 2 vs four chunks of 1
+        full = sp.p_sample_loop(_toy_model, tables, cfg,
+                                sp.sample_index_keys(seed_key, 0, 4),
+                                4, 4, (8, 6, 4))
+        for chunk in (2, 1):
+            rows = []
+            for i in range(0, 4, chunk):
+                out = sp.p_sample_loop(_toy_model, tables, cfg,
+                                       sp.sample_index_keys(seed_key, i,
+                                                            chunk),
+                                       chunk, 4, (8, 6, 4))
+                rows.append(out)
+            for j in range(4):
+                got = rows[j // chunk]
+                np.testing.assert_array_equal(
+                    np.asarray(got.xy[j % chunk]), np.asarray(full.xy[j]))
+                np.testing.assert_array_equal(
+                    np.asarray(got.yz[j % chunk]), np.asarray(full.yz[j]))
+
+    def test_ddim_loop_chunking_invariance(self):
+        from sin3dm_tpu.diffusion import sampling as sp
+        tables = _tables(100, "ddim10")
+        cfg = _cfg(original_num_steps=100)
+        seed_key = jax.random.PRNGKey(5)
+        full = sp.ddim_sample_loop(_toy_model, tables, cfg,
+                                   sp.sample_index_keys(seed_key, 0, 3),
+                                   3, 4, (8, 6, 4), eta=0.5)
+        one = sp.ddim_sample_loop(_toy_model, tables, cfg,
+                                  sp.sample_index_keys(seed_key, 2, 1),
+                                  1, 4, (8, 6, 4), eta=0.5)
+        np.testing.assert_array_equal(np.asarray(one.xz[0]),
+                                      np.asarray(full.xz[2]))
+
+    def test_progressive_matches_plain_with_key_batch(self):
+        from sin3dm_tpu.diffusion import sampling as sp
+        tables = _tables(20)
+        cfg = _cfg()
+        keys = sp.sample_index_keys(jax.random.PRNGKey(9), 0, 2)
+        final = sp.p_sample_loop(_toy_model, tables, cfg, keys, 2, 4,
+                                 (8, 6, 4))
+        snaps = sp.p_sample_loop_progressive(_toy_model, tables, cfg, keys,
+                                             2, 4, (8, 6, 4),
+                                             snapshot_every=7)
+        np.testing.assert_array_equal(np.asarray(snaps.xy[-1]),
+                                      np.asarray(final.xy))
+
+    def test_single_key_path_unchanged(self):
+        """Legacy single-key behavior still works (joint batch draws)."""
+        from sin3dm_tpu.diffusion import sampling as sp
+        tables = _tables(20)
+        cfg = _cfg()
+        key = jax.random.PRNGKey(1)
+        a = sp.p_sample_loop(_toy_model, tables, cfg, key, 2, 4, (8, 6, 4))
+        b = sp.p_sample_loop(_toy_model, tables, cfg, key, 2, 4, (8, 6, 4))
+        np.testing.assert_array_equal(np.asarray(a.xy), np.asarray(b.xy))

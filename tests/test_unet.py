@@ -195,3 +195,26 @@ def test_unet_apply_unchanged_by_fast_rollout():
     for a, b in zip(y_fast, y_dense):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_deep_channel_mult_smoke():
+    """channel_mult=(1,2,4) (deeper than the reference default) builds and
+    runs — init_unet's key pool is sized to the config (r1 VERDICT weak #8:
+    a fixed split(key, 64) iterator)."""
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                     channel_mult=(1, 2, 4), num_res_blocks=2)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = randn(jax.random.PRNGKey(1), 1, 4, (16, 16, 8))
+    out = unet_apply(params, cfg, x, jnp.array([3]))
+    assert out.xy.shape == (1, 16, 16, 4)
+    assert out.xz.shape == (1, 16, 8, 4)
+    for p in out:
+        assert bool(jnp.all(jnp.isfinite(p)))
+
+
+def test_very_deep_channel_mult_does_not_exhaust_keys():
+    """A config needing >64 keys (the old fixed pool) still initializes."""
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                     channel_mult=(1,) * 31, num_res_blocks=1)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    assert len(params["down"]) == 31
