@@ -39,17 +39,22 @@ def _maxpool3x3s2(x):
 
 
 def stem_features(params: Dict, images: jax.Array, dims: int) -> jax.Array:
-    """images: [B, H, W, 3] in [0,1].  dims in {64, 192}."""
+    """images: [B, H, W, 3] in [0,1].  dims in {64, 192}.
+
+    Block boundaries follow the reference wrapper exactly
+    (`inception.py:62-78`): block0 output is AFTER Conv2d_2b (before
+    maxpool1), block1 output is AFTER Conv2d_4a (before maxpool2) — the
+    maxpools lead the NEXT block.  (r2 parity harness caught the original
+    off-by-one-pool here.)"""
     x = 2.0 * images - 1.0
     x = _conv_bn(params["Conv2d_1a_3x3"], x, stride=2)
     x = _conv_bn(params["Conv2d_2a_3x3"], x)
     x = _conv_bn(params["Conv2d_2b_3x3"], x, padding=((1, 1), (1, 1)))
-    x = _maxpool3x3s2(x)
     if dims == 64:
         return x
+    x = _maxpool3x3s2(x)
     x = _conv_bn(params["Conv2d_3b_1x1"], x)
     x = _conv_bn(params["Conv2d_4a_3x3"], x)
-    x = _maxpool3x3s2(x)
     if dims == 192:
         return x
     raise NotImplementedError(
