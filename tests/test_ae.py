@@ -193,3 +193,23 @@ def test_uvatlas_no_overlap_and_coverage():
     radii = np.linalg.norm(pos - center, axis=-1) / (n - 1)
     np.testing.assert_allclose(radii.mean(), 0.3, atol=0.03)
     assert np.quantile(np.abs(radii - 0.3), 0.95) < 0.05
+
+
+def test_uvatlas_texel_utilization():
+    """Packing quality floor: oriented-rect charts + FFDH shelves reach
+    >= 0.55 texel utilization on a decimated bumpy-sphere decode (r1's
+    axis-aligned shelf packing measured 0.47; xatlas typically 0.6-0.75)."""
+    from sin3dm_tpu.geometry import native, uvatlas
+    n = 64
+    xs = np.linspace(-1, 1, n, dtype=np.float32)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    r = np.linalg.norm(g, axis=-1)
+    bump = (0.06 * np.sin(6 * g[..., 0]) * np.sin(5 * g[..., 1])
+            * np.sin(7 * g[..., 2]))
+    sdf = (r - 0.7 + bump).astype(np.float32)
+    v, f = native.marching_cubes(sdf, 0.0)
+    v2, f2 = native.decimate(v, f, 4000)
+    uvs, tex_idx, gb_pos, mask = uvatlas.uv_unwrap_and_rasterize(v2, f2, 512)
+    assert mask.mean() >= 0.55, mask.mean()
+    # uvs all inside the unit square
+    assert uvs.min() >= 0 and uvs.max() <= 1
