@@ -19,6 +19,7 @@ Pipeline (identical semantics, channels-last layout):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -120,9 +121,27 @@ def _mlp_skip_apply(p: Dict, x) -> jax.Array:
     return nn.linear(p["second"][-1], h)
 
 
+def _decode_mxu_dtype():
+    """MXU operand dtype for the inference decode MLPs.
+
+    bf16 operands run the v5e MXU at full rate (fp32 matmul is 4-8x
+    slower); accumulation stays fp32.  The decode outputs are quantized
+    to int8 (geo wire, 1/127 steps) or uint8 (texels, 1/255), both
+    coarser than bf16's ~2^-8 relative error, so the wire values are the
+    precision floor either way.  SIN3DM_DECODE_BF16=0 opts out (exact
+    fp32 parity with training-time decode_points); on the CPU backend
+    (tests, interpret-mode pallas) fp32 is the default so golden parity
+    against the XLA reference stays bitwise-tight."""
+    env = os.environ.get("SIN3DM_DECODE_BF16")
+    if env is not None:
+        return jnp.float32 if env in ("0", "false", "") else jnp.bfloat16
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def _head_apply(cfg, head: Dict, x: jax.Array, fused: bool) -> jax.Array:
     """Apply a decoder MLP head; `fused=True` routes skip-heads through the
-    Pallas VMEM-resident kernel (inference-only: the kernel defines no VJP).
+    Pallas VMEM-resident kernel (inference-only: the kernel defines no VJP)
+    with bf16 MXU operands (see `_decode_mxu_dtype`).
 
     The 'base' net's plain MLP always takes the XLA path.
     """
@@ -130,7 +149,7 @@ def _head_apply(cfg, head: Dict, x: jax.Array, fused: bool) -> jax.Array:
         return _mlp_apply(head, x)
     if fused:
         from ..ops.fused_mlp import skip_mlp_fused
-        return skip_mlp_fused(head, x)
+        return skip_mlp_fused(head, x, mxu_dtype=_decode_mxu_dtype())
     return _mlp_skip_apply(head, x)
 
 

@@ -89,3 +89,18 @@ def test_decode_grid_dense_fused_heads_parity():
     fused = np.asarray(ae.decode_grid_dense(params, cfg, gp, tp, res, 4,
                                             False, fused_heads=True))
     np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_fused_mlp_bf16_mxu_close_to_fp32():
+    """bf16 MXU operands (the TPU inference default) stay within the int8
+    wire precision (~1/127) of the fp32 reference."""
+    import jax, jax.numpy as jnp
+    from sin3dm_tpu.ops.fused_mlp import skip_mlp_fused, skip_mlp_reference
+    from sin3dm_tpu.models.autoencoder import _mlp_skip_init
+    p = _mlp_skip_init(jax.random.PRNGKey(0), 12, 256, 4, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (512, 12))
+    ref = skip_mlp_reference(p, x)
+    out = skip_mlp_fused(p, x, interpret=True, mxu_dtype=jnp.bfloat16)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err / max(scale, 1e-6) < 1.0 / 127, (err, scale)
