@@ -101,25 +101,36 @@ def _rollout_cat(t: Triplane) -> Triplane:
 
 
 def _conv1d3(vec: jax.Array, k3: jax.Array) -> jax.Array:
-    """3-tap 1D conv with zero 'SAME' padding. vec [B,L,C], k3 [3,C,Co]."""
+    """3-tap 1D conv with zero 'SAME' padding. vec [B,L,C], k3 [3,C,Co].
+
+    Shifts are pad+add (fuses on TPU) instead of `.at[].add` — scatter
+    ops inside a `lax.scan` body force extra full-tensor copies."""
     k3 = k3.astype(vec.dtype)
-    out = jnp.einsum("blc,co->blo", vec, k3[1])
-    out = out.at[:, 1:].add(jnp.einsum("blc,co->blo", vec[:, :-1], k3[0]))
-    out = out.at[:, :-1].add(jnp.einsum("blc,co->blo", vec[:, 1:], k3[2]))
-    return out
+    mid = jnp.einsum("blc,co->blo", vec, k3[1])
+    lo = jnp.einsum("blc,co->blo", vec[:, :-1], k3[0])
+    hi = jnp.einsum("blc,co->blo", vec[:, 1:], k3[2])
+    return (mid + jnp.pad(lo, ((0, 0), (1, 0), (0, 0)))
+            + jnp.pad(hi, ((0, 0), (0, 1), (0, 0))))
 
 
 def _colvar_contrib(vec: jax.Array, kb: jax.Array, H: int) -> jax.Array:
     """3x3-conv contribution of an image that is CONSTANT along rows
     (broadcast of vec [B,W,C] along axis 1).  Interior rows see the
     column-summed kernel; the zero-padded top/bottom rows see partial
-    sums.  Exact, and ~3H x fewer FLOPs than the dense conv."""
+    sums.  Exact, and ~3H x fewer FLOPs than the dense conv.
+
+    Returned as a lazily-broadcast row-select expression ([B,H,W,Co]
+    shaped but built from three [B,W,Co] vectors + iota): XLA fuses the
+    whole thing into the consumer's add epilogue, so no full-size
+    intermediate ever hits HBM (the old broadcast+concat form
+    materialized two extra full tensors per contribution)."""
     s_full = _conv1d3(vec, kb.sum(0))
     s_top = _conv1d3(vec, kb[1:].sum(0))
     s_bot = _conv1d3(vec, kb[:2].sum(0))
-    mid = jnp.broadcast_to(s_full[:, None],
-                           (vec.shape[0], H - 2) + s_full.shape[1:])
-    return jnp.concatenate([s_top[:, None], mid, s_bot[:, None]], axis=1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, 1), 1)
+    return jnp.where(ridx == 0, s_top[:, None],
+                     jnp.where(ridx == H - 1, s_bot[:, None],
+                               s_full[:, None]))
 
 
 def _rowvar_contrib(vec: jax.Array, kb: jax.Array, W: int) -> jax.Array:
@@ -128,10 +139,10 @@ def _rowvar_contrib(vec: jax.Array, kb: jax.Array, W: int) -> jax.Array:
     s_full = _conv1d3(vec, kb.sum(1))
     s_left = _conv1d3(vec, kb[:, 1:].sum(1))
     s_right = _conv1d3(vec, kb[:, :2].sum(1))
-    mid = jnp.broadcast_to(s_full[:, :, None],
-                           s_full.shape[:2] + (W - 2,) + s_full.shape[2:])
-    return jnp.concatenate([s_left[:, :, None], mid, s_right[:, :, None]],
-                           axis=2)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
+    return jnp.where(cidx == 0, s_left[:, :, None],
+                     jnp.where(cidx == W - 1, s_right[:, :, None],
+                               s_full[:, :, None]))
 
 
 def _tconv_apply_rollout_fast(p: Dict, t: Triplane) -> Triplane:
