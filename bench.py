@@ -3,6 +3,12 @@
 marching cubes, 10k-face decimation, 2048^2 UV texture bake), matching the
 reference's default generation settings.
 
+Runs on the committed full-budget towerruins checkpoint
+(`checkpoints/towerruins`, 25k AE iters + 25k diffusion steps) through
+the exact `cli/sample.py` loaders — real texture-MLP decode, real
+surface statistics.  Synthetic quick-fit fallback only when the
+checkpoint is absent.
+
 Reference baseline (BASELINE.md): the same workload takes 30-50 s on an
 NVIDIA A6000 (`src/app.py:12`); we compare against the 40 s midpoint.
 
@@ -118,9 +124,47 @@ def _quick_fit_sphere_impl(acfg, sizes, n_steps):
     return jax.device_get(params)
 
 
-def main():
-    from sin3dm_tpu.core.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
+def _find_trained_tag():
+    """Trained-checkpoint tag for the measured workload, or None.
+
+    `SIN3DM_BENCH_TAG` overrides; default is the committed
+    `checkpoints/towerruins` (full-budget towerruins train: 25k AE iters
+    + 25k diffusion steps).  Falls back to the synthetic quick-fit setup
+    when the artifacts are absent so `bench.py` always runs."""
+    tag = os.environ.get(
+        "SIN3DM_BENCH_TAG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "checkpoints", "towerruins"))
+    need = [os.path.join(tag, "encoding", "ckpt_final.pth"),
+            os.path.join(tag, "encoding", "feat.npz"),
+            os.path.join(tag, "encoding", "args.json"),
+            os.path.join(tag, "diffusion", "args.json")]
+    import glob as _glob
+    if all(os.path.exists(p) for p in need) and _glob.glob(
+            os.path.join(tag, "diffusion", "ema_*.pt")):
+        return tag
+    return None
+
+
+def _setup_real(tag):
+    """Sampler + trainer over the trained checkpoint — the exact loaders
+    and model the sample CLI ships (`cli/sample.py`), so the benchmark
+    measures the real texture-MLP decode path and true towerruins
+    surface statistics (VERDICT r1 weak #6)."""
+    from sin3dm_tpu.cli.sample import _build_sampler, _make_trainer
+    from sin3dm_tpu.core import config as cfgmod
+
+    args = cfgmod.sample_args(["--tag", tag])
+    sampler, C, sizes = _build_sampler(args)
+    trainer = _make_trainer(args)
+    log(f"trained checkpoint: {tag} (planes {sizes}, C={C})")
+    return sampler, trainer, C, sizes
+
+
+def _setup_synthetic():
+    """Quick-fit sphere decoder + structured noise triplanes, calibrated
+    to real decode triangle counts — used only when no trained
+    checkpoint is available."""
     from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
     from sin3dm_tpu.diffusion.sampling import make_jit_sampler
     from sin3dm_tpu.diffusion.schedule import make_schedule
@@ -128,19 +172,11 @@ def main():
     from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
     from sin3dm_tpu.training.ae import AETrainer, AETrainerConfig
 
-    # towerruins-scale triplane (fm_reso 128 -> anisotropic planes)
     sizes = (128, 128, 88)
-    batch = 4
-    steps = 1000
-    reso = 256
-    n_faces = 10000
-    texreso = 2048
-    baseline_seconds = 40.0
-
     ucfg = UNetConfig(compute_dtype=jnp.bfloat16)  # 12ch, mc64, mult (1,2)
     uparams = init_unet(jax.random.PRNGKey(0), ucfg)
     tables = {k: jnp.asarray(v)
-              for k, v in make_schedule("linear", steps).tables_f32().items()}
+              for k, v in make_schedule("linear", 1000).tables_f32().items()}
     dcfg = DiffusionConfig()
     sampler = make_jit_sampler(
         lambda x, t: unet_apply(uparams, ucfg, x, t), tables, dcfg)
@@ -156,6 +192,26 @@ def main():
                     "featmap_size": list(sizes),
                     "Ka": [0, 0, 0], "Kd": [1, 1, 1],
                     "Ks": [0.4, 0.4, 0.4], "Ns": 10}
+    return sampler, trainer, ucfg.in_channels, sizes
+
+
+def main():
+    from sin3dm_tpu.core.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    batch = 4
+    steps = 1000
+    reso = 256
+    n_faces = 10000
+    texreso = 2048
+    baseline_seconds = 40.0
+
+    tag = _find_trained_tag()
+    if tag is not None:
+        sampler, trainer, channels, sizes = _setup_real(tag)
+    else:
+        log("no trained checkpoint found - synthetic quick-fit workload")
+        sampler, trainer, channels, sizes = _setup_synthetic()
 
     # pipeline chunk: chain time is linear in batch at these sizes
     # (measured 1.60/3.17/6.15 s for batch 1/2/4), so sampling in chunks
@@ -165,27 +221,36 @@ def main():
                        int(os.environ.get("SIN3DM_BENCH_CHUNK", "1"))))
 
     # ---- warmup / compile (excluded, like cuDNN autotune amortization)
+    from sin3dm_tpu.core.triplane import Triplane
     t0 = time.perf_counter()
-    out = sampler(jax.random.PRNGKey(1), chunk, ucfg.in_channels, sizes)
+    out = sampler(jax.random.PRNGKey(1), chunk, channels, sizes)
     jax.block_until_ready(out)
     log(f"sampler compile+warmup: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    warm = make_structured_triplane(jax.random.PRNGKey(99),
-                                    ucfg.in_channels, sizes)
+    if tag is not None:
+        # real mode: warm the decode on a real drawn sample
+        warm = Triplane(out.xy[0], out.xz[0], out.yz[0])
+    else:
+        warm = make_structured_triplane(jax.random.PRNGKey(99),
+                                        channels, sizes)
     with tempfile.TemporaryDirectory() as d:
         trainer.decode_texmesh(d, warm, reso, n_faces=n_faces,
                                texture_reso=texreso, save_voxel=False,
                                verbose=True)
     log(f"decode compile+warmup: {time.perf_counter() - t0:.1f}s")
 
-    # the untrained DDPM collapses toward zero planes (START_X + zero-init
-    # out conv), which would give marching cubes an empty surface; decode
-    # structured triplanes instead — the fitted head maps those to a
-    # sphere-like SDF, so the decode stage sees a realistic mesh workload
-    decode_feats = [
-        make_structured_triplane(jax.random.PRNGKey(100 + i),
-                                 ucfg.in_channels, sizes)
-        for i in range(batch)]
+    # With a trained checkpoint each chunk decodes ITS OWN drawn samples
+    # (the full real workload).  The synthetic fallback's untrained DDPM
+    # collapses toward zero planes (START_X + zero-init out conv), which
+    # would give marching cubes an empty surface; decode structured
+    # triplanes instead — the fitted head maps those to a sphere-like
+    # SDF, so the decode stage sees a realistic mesh workload
+    decode_feats = None
+    if tag is None:
+        decode_feats = [
+            make_structured_triplane(jax.random.PRNGKey(100 + i),
+                                     channels, sizes)
+            for i in range(batch)]
 
     # ---- measured run: 4 samples + 4 mesh decodes.
     # Best of N passes, adaptively extended: the TPU chain is stable
@@ -223,7 +288,7 @@ def main():
                 # of n_chunks (a fixed stride would alias past 16 chunks)
                 k = jax.random.fold_in(jax.random.PRNGKey(2), p)
                 return sampler(jax.random.fold_in(k, ci),
-                               chunk, ucfg.in_channels, sizes)
+                               chunk, channels, sizes)
 
             def prepare_chunk(ci, samples):
                 nonlocal t_chains
@@ -231,7 +296,12 @@ def main():
                 jax.block_until_ready(samples)  # chain done (real data dep)
                 t_chains += time.perf_counter() - tb
                 lo = ci * chunk
-                feats = decode_feats[lo:lo + chunk]
+                if decode_feats is None:  # real mode: decode what we drew
+                    feats = [Triplane(samples.xy[j], samples.xz[j],
+                                      samples.yz[j])
+                             for j in range(min(chunk, batch - lo))]
+                else:
+                    feats = decode_feats[lo:lo + chunk]
                 dirs = [os.path.join(d, f"{lo + j:03d}")
                         for j in range(len(feats))]
                 return dirs, feats
