@@ -174,6 +174,8 @@ def _setup_synthetic():
 
     sizes = (128, 128, 88)
     ucfg = UNetConfig(compute_dtype=jnp.bfloat16)  # 12ch, mc64, mult (1,2)
+    if jax.default_backend() != "cpu":
+        ucfg = ucfg._replace(fused_conv=True)  # pallas inference convs
     uparams = init_unet(jax.random.PRNGKey(0), ucfg)
     tables = {k: jnp.asarray(v)
               for k, v in make_schedule("linear", 1000).tables_f32().items()}

@@ -46,6 +46,12 @@ def _build_sampler(args):
     print("H, W, D:", H, W, D)
 
     ucfg = cfgmod.unet_config_from_args(args)
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("SIN3DM_FUSED_CONV", "1") != "0"):
+        # inference-only pallas conv path (models/unet.py UNetConfig):
+        # kills the per-step relayout copies around batch-1 convs.  CPU
+        # keeps the XLA path (pallas CPU = slow interpreter).
+        ucfg = ucfg._replace(fused_conv=True)
     params = init_unet(jax.random.PRNGKey(0), ucfg)
     model_path = cfgmod.diffusion_model_path(args.tag, args.ema_rate,
                                              args.diff_n_iters)

@@ -79,12 +79,22 @@ def silu(x):
 
 
 def conv2d(p, x, stride: int = 1, padding="SAME"):
-    """NHWC conv. p['w'] is HWIO."""
-    y = lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
-        window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    """NHWC conv. p['w'] is HWIO.
+
+    1x1 stride-1 convs go through a plain dot: TPU XLA rewrites small-C
+    convolutions via space-to-depth reshapes whose layouts mismatch the
+    surrounding elementwise fusions, inserting a relayout copy per call
+    (profiled at ~10 us/step each inside the sampling chain); a dot
+    contraction over the channel axis needs none of that."""
+    w = p["w"].astype(x.dtype)
+    if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1:
+        y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0])
+    else:
+        y = lax.conv_general_dilated(
+            x, w,
+            window_strides=(stride, stride), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

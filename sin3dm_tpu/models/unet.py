@@ -42,6 +42,11 @@ class UNetConfig(NamedTuple):
     use_scale_shift_norm: bool = True
     rollout: bool = True            # unet_small vs unet_raw
     compute_dtype: Any = jnp.float32  # set jnp.bfloat16 for TPU fast path
+    # INFERENCE-ONLY pallas conv path (no VJP): one VMEM-resident
+    # im2col+dot per row tile, rollout epilogue in-kernel — kills the
+    # per-step relayout copies XLA inserts around batch-1 convs.
+    # Samplers switch it on (see cli/sample.py); training must not.
+    fused_conv: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -124,9 +129,7 @@ def _colvar_contrib(vec: jax.Array, kb: jax.Array, H: int) -> jax.Array:
     whole thing into the consumer's add epilogue, so no full-size
     intermediate ever hits HBM (the old broadcast+concat form
     materialized two extra full tensors per contribution)."""
-    s_full = _conv1d3(vec, kb.sum(0))
-    s_top = _conv1d3(vec, kb[1:].sum(0))
-    s_bot = _conv1d3(vec, kb[:2].sum(0))
+    s_top, s_full, s_bot = _colvar_vecs(vec, kb)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, 1), 1)
     return jnp.where(ridx == 0, s_top[:, None],
                      jnp.where(ridx == H - 1, s_bot[:, None],
@@ -136,16 +139,27 @@ def _colvar_contrib(vec: jax.Array, kb: jax.Array, H: int) -> jax.Array:
 def _rowvar_contrib(vec: jax.Array, kb: jax.Array, W: int) -> jax.Array:
     """Same for an image constant along columns (vec [B,H,C] broadcast
     along axis 2): row-summed kernel + partial sums at left/right."""
-    s_full = _conv1d3(vec, kb.sum(1))
-    s_left = _conv1d3(vec, kb[:, 1:].sum(1))
-    s_right = _conv1d3(vec, kb[:, :2].sum(1))
+    s_left, s_full, s_right = _rowvar_vecs(vec, kb)
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
     return jnp.where(cidx == 0, s_left[:, :, None],
                      jnp.where(cidx == W - 1, s_right[:, :, None],
                                s_full[:, :, None]))
 
 
-def _tconv_apply_rollout_fast(p: Dict, t: Triplane) -> Triplane:
+def _colvar_vecs(vec: jax.Array, kb: jax.Array):
+    """(s_top, s_full, s_bot) [B, W, Co] — see `_colvar_contrib`."""
+    return (_conv1d3(vec, kb[1:].sum(0)), _conv1d3(vec, kb.sum(0)),
+            _conv1d3(vec, kb[:2].sum(0)))
+
+
+def _rowvar_vecs(vec: jax.Array, kb: jax.Array):
+    """(r_left, r_full, r_right) [B, H, Co] — see `_rowvar_contrib`."""
+    return (_conv1d3(vec, kb[:, 1:].sum(1)), _conv1d3(vec, kb.sum(1)),
+            _conv1d3(vec, kb[:, :2].sum(1)))
+
+
+def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
+                              fused: bool = False) -> Triplane:
     """Rollout conv without materializing the 3x-channel concat.
 
     The rollout channels are axis-means BROADCAST along one spatial axis
@@ -164,16 +178,21 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane) -> Triplane:
 
     def one(pp, x, col_vec, row_vec, col_first: bool):
         w = pp["w"]
+        col_slot, row_slot = (1, 2) if col_first else (2, 1)
+        if fused:
+            from ..ops.fused_conv import conv3x3_rollout_fused
+            col3 = _colvar_vecs(col_vec,
+                                w[:, :, col_slot * C:(col_slot + 1) * C])
+            row3 = _rowvar_vecs(row_vec,
+                                w[:, :, row_slot * C:(row_slot + 1) * C])
+            return conv3x3_rollout_fused(
+                x, w[:, :, :C], pp.get("b"), col3, row3,
+                mxu_dtype=x.dtype)
         y = nn.conv2d({"w": w[:, :, :C]}, x)
-        blocks = [("col", col_vec, 1), ("row", row_vec, 2)]
-        if not col_first:
-            blocks = [("row", row_vec, 1), ("col", col_vec, 2)]
-        for kind, vec, slot in blocks:
-            kb = w[:, :, slot * C:(slot + 1) * C]
-            if kind == "col":
-                y = y + _colvar_contrib(vec, kb, x.shape[1])
-            else:
-                y = y + _rowvar_contrib(vec, kb, x.shape[2])
+        kb_c = w[:, :, col_slot * C:(col_slot + 1) * C]
+        kb_r = w[:, :, row_slot * C:(row_slot + 1) * C]
+        y = y + _colvar_contrib(col_vec, kb_c, x.shape[1])
+        y = y + _rowvar_contrib(row_vec, kb_r, x.shape[2])
         if "b" in pp:
             y = y + pp["b"].astype(y.dtype)
         return y
@@ -188,11 +207,18 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane) -> Triplane:
     return Triplane(xy, xz, yz)
 
 
-def _tconv_apply(p: Dict, t: Triplane, rollout: bool) -> Triplane:
+def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
+                 fused: bool = False) -> Triplane:
     if rollout:
         if p["xy"]["w"].shape[0] == 3 and min(t.sizes) >= 2:
-            return _tconv_apply_rollout_fast(p, t)
+            return _tconv_apply_rollout_fast(p, t, fused=fused)
         t = _rollout_cat(t)
+    if fused and p["xy"]["w"].shape[0] == 3:
+        from ..ops.fused_conv import conv3x3_rollout_fused
+        return Triplane(*[
+            conv3x3_rollout_fused(x, pp["w"], pp.get("b"),
+                                  mxu_dtype=x.dtype)
+            for pp, x in zip((p["xy"], p["xz"], p["yz"]), t)])
     return Triplane(nn.conv2d(p["xy"], t.xy),
                     nn.conv2d(p["xz"], t.xz),
                     nn.conv2d(p["yz"], t.yz))
@@ -241,10 +267,11 @@ def _resblock_init(key, cin: int, cout: int, emb_dim: int,
 
 
 def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
-                    use_scale_shift: bool, rollout: bool) -> Triplane:
+                    use_scale_shift: bool, rollout: bool,
+                    fused: bool = False) -> Triplane:
     h = _tnorm_apply(p["in_norm"], t)
     h = _tsilu(h)
-    h = _tconv_apply(p["in_conv"], h, rollout)
+    h = _tconv_apply(p["in_conv"], h, rollout, fused)
 
     emb_out = nn.linear(p["emb"], nn.silu(emb)).astype(h.xy.dtype)
     emb_out = emb_out[:, None, None, :]  # [B,1,1,C or 2C]
@@ -254,12 +281,12 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
         h = _tnorm_apply(p["out_norm"], h)
         h = h.map(lambda v: v * (1.0 + scale) + shift)
         h = _tsilu(h)
-        h = _tconv_apply(p["out_conv"], h, rollout)
+        h = _tconv_apply(p["out_conv"], h, rollout, fused)
     else:
         h = h.map(lambda v: v + emb_out)
         h = _tnorm_apply(p["out_norm"], h)
         h = _tsilu(h)
-        h = _tconv_apply(p["out_conv"], h, rollout)
+        h = _tconv_apply(p["out_conv"], h, rollout, fused)
 
     skip = _tconv_apply(p["skip"], t, rollout=False) if "skip" in p else t
     return h + skip
@@ -357,7 +384,8 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
 
     def run_block(p, t, e):
         fn = lambda pp, tt, ee: _resblock_apply(
-            pp, tt, ee, cfg.use_scale_shift_norm, cfg.rollout)
+            pp, tt, ee, cfg.use_scale_shift_norm, cfg.rollout,
+            fused=cfg.fused_conv)
         if cfg.use_checkpoint:
             fn = jax.checkpoint(fn)
         return fn(p, t, e)

@@ -1,0 +1,71 @@
+"""Golden tests: pallas fused 3x3 rollout conv == the XLA path.
+
+Run in pallas interpret mode on the CPU backend (conftest forces cpu)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sin3dm_tpu.core import nn
+from sin3dm_tpu.core.triplane import Triplane
+from sin3dm_tpu.models import unet as U
+from sin3dm_tpu.ops.fused_conv import conv3x3_rollout_fused
+
+
+@pytest.mark.parametrize("shape", [(1, 12, 20, 32), (2, 9, 17, 32),
+                                   (1, 16, 16, 64)])
+def test_plain_conv3x3_parity(shape):
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(0), 3)
+    B, H, W, C = shape
+    Co = 32
+    x = jax.random.normal(kx, shape)
+    p = {"w": jax.random.normal(kw, (3, 3, C, Co)) * 0.1,
+         "b": jax.random.normal(kb, (Co,)) * 0.1}
+    ref = nn.conv2d(p, x)
+    out = conv3x3_rollout_fused(x, p["w"], p["b"], tile_h=4,
+                                mxu_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_plain_conv3x3_no_bias():
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 24, 32))
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 32, 32)) * 0.1
+    ref = nn.conv2d({"w": w}, x)
+    out = conv3x3_rollout_fused(x, w, None, tile_h=8,
+                                mxu_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sizes", [(12, 20, 8), (9, 17, 5)])
+def test_rollout_tconv_parity(sizes):
+    """Fused rollout conv == _tconv_apply_rollout_fast (XLA)."""
+    H, W, D = sizes
+    C, Co = 32, 32
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    t = Triplane(jax.random.normal(keys[0], (2, H, W, C)),
+                 jax.random.normal(keys[1], (2, H, D, C)),
+                 jax.random.normal(keys[2], (2, W, D, C)))
+    p = U._tconv_init(keys[3], C, Co, 3, rollout=True)
+    ref = U._tconv_apply(p, t, rollout=True, fused=False)
+    out = U._tconv_apply(p, t, rollout=True, fused=True)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_unet_apply_fused_parity():
+    """Full forward with cfg.fused_conv=True matches the XLA forward."""
+    cfg = U.UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = U.init_unet(jax.random.PRNGKey(0), cfg)
+    x = Triplane(jax.random.normal(jax.random.PRNGKey(1), (1, 12, 16, 4)),
+                 jax.random.normal(jax.random.PRNGKey(2), (1, 12, 8, 4)),
+                 jax.random.normal(jax.random.PRNGKey(3), (1, 16, 8, 4)))
+    tsteps = jnp.array([500], jnp.int32)
+    ref = U.unet_apply(params, cfg, x, tsteps)
+    out = U.unet_apply(params, cfg._replace(fused_conv=True), x, tsteps)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
