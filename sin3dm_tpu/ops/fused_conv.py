@@ -85,7 +85,7 @@ def conv3x3_rollout_fused(
         x: jax.Array, w: jax.Array, b: Optional[jax.Array],
         col3: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
         row3: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
-        tile_h: int = 16, interpret: Optional[bool] = None,
+        tile_h: Optional[int] = None, interpret: Optional[bool] = None,
         mxu_dtype=jnp.bfloat16) -> jax.Array:
     """y = conv3x3_SAME(x) + b + colvar + rowvar, one pallas program.
 
@@ -102,6 +102,25 @@ def conv3x3_rollout_fused(
     Co = w.shape[-1]
     has_rollout = col3 is not None
 
+    # Wide inputs (the up-path skip-concat conv, C=192) would blow the
+    # 16MB VMEM scoped limit (the im2col scratch is 9C wide).  By conv
+    # linearity, split the input channels: the first chunk carries bias
+    # + rollout contributions, the rest are plain partial convs summed
+    # on top (the channel slices fuse into each kernel's input pad).
+    if C > 128:
+        y = conv3x3_rollout_fused(
+            x[..., :128], w[:, :, :128], b, col3, row3,
+            tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype)
+        for lo in range(128, C, 128):
+            hi = min(lo + 128, C)
+            y = y + conv3x3_rollout_fused(
+                x[..., lo:hi], w[:, :, lo:hi], None,
+                tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype)
+        return y
+
+    if tile_h is None:
+        import os
+        tile_h = int(os.environ.get("SIN3DM_FUSED_TILE", "16"))
     TH = tile_h
     HP = _round_up(H, TH)
     WP = _round_up(W, 16)
