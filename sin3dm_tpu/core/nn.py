@@ -149,6 +149,50 @@ def group_norm32(p, x, num_groups: int = 32, eps: float = 1e-5):
     return y.astype(dt)
 
 
+def group_norm32_film_silu(p, x, film=None, num_groups: int = 32,
+                           eps: float = 1e-5):
+    """INFERENCE fast path: GroupNorm32 -> optional FiLM scale-shift ->
+    SiLU, with the normalize/affine applied in x.dtype.
+
+    Statistics are float32 (the load-bearing half of GroupNorm32's
+    fp32-compute contract, `src/diffusion/nn.py:17-19`): the mean/var
+    reduces convert inline (XLA fuses the convert into the reduce, so no
+    materialized fp32 copy of the plane).  gamma/beta and the optional
+    FiLM (1+scale, shift) fold into per-channel A, B in fp32; the
+    elementwise `silu(x*A+B)` then runs in x.dtype and fuses into the
+    consumer (the conv input pad).  vs the exact `group_norm32` + FiLM +
+    `silu` chain this differs only by one bf16 rounding of the apply —
+    profiled on the sampling chain, the exact path spends ~70 us/step in
+    astype relayout copies + a separate fp32 normalize pass.
+
+    x: [B, H, W, C]; film: optional (scale, shift) each [B, 1, 1, C].
+    """
+    dt = x.dtype
+    *lead, H, W, C = x.shape
+    g = num_groups
+    if C % g != 0:
+        raise ValueError(f"GroupNorm32 needs channels divisible by {g}, "
+                         f"got {C}")
+    xg = x.reshape(*lead, H, W, g, C // g).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(-4, -3, -1))          # [..., g]
+    var = jnp.var(xg, axis=(-4, -3, -1))            # [..., g]
+    rstd = lax.rsqrt(var + eps)
+    # per-channel fold: A = gamma*rstd, B = beta - mean*gamma*rstd
+    mean_c = jnp.repeat(mean, C // g, axis=-1)      # [..., C]
+    rstd_c = jnp.repeat(rstd, C // g, axis=-1)
+    A = rstd_c * p["g"]
+    B = p["b"] - mean_c * A
+    A = A.reshape(*lead, 1, 1, C)
+    B = B.reshape(*lead, 1, 1, C)
+    if film is not None:
+        scale, shift = film                          # [B,1,1,C] fp32/bf16
+        one_p = 1.0 + scale.astype(jnp.float32)
+        A = A * one_p
+        B = B * one_p + shift.astype(jnp.float32)
+    y = x * A.astype(dt) + B.astype(dt)
+    return silu(y)
+
+
 def group_norm_init(channels: int):
     return {"g": jnp.ones((channels,), jnp.float32),
             "b": jnp.zeros((channels,), jnp.float32)}

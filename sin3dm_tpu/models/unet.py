@@ -146,16 +146,37 @@ def _rowvar_contrib(vec: jax.Array, kb: jax.Array, W: int) -> jax.Array:
                                s_full[:, :, None]))
 
 
+def _conv1d3_multi(vec: jax.Array, k3s) -> Tuple[jax.Array, ...]:
+    """Apply SEVERAL 3-tap 1D convs to the same vector with ONE dot.
+
+    vec [B,L,C]; k3s = sequence of V kernels each [3, C, Co].  Builds the
+    tap-shifted stack [B, L, 3, C] once and contracts against the packed
+    [3, C, V, Co] kernel — one MXU call instead of 3V tiny dots (the
+    kernel pack is loop-invariant, so XLA hoists it out of the sampling
+    scan).  Returns V arrays [B, L, Co]; same math as V x `_conv1d3`
+    (accumulation order differs by one fp reassociation)."""
+    B, L, C = vec.shape
+    z = jnp.zeros((B, 1, C), vec.dtype)
+    stack = jnp.stack([
+        jnp.concatenate([z, vec[:, :-1]], axis=1),   # tap 0: vec[l-1]
+        vec,                                         # tap 1: vec[l]
+        jnp.concatenate([vec[:, 1:], z], axis=1),    # tap 2: vec[l+1]
+    ], axis=2)                                       # [B, L, 3, C]
+    kp = jnp.stack([k.astype(vec.dtype) for k in k3s], axis=2)
+    out = jnp.einsum("blsc,scvo->blvo", stack, kp)   # [B, L, V, Co]
+    return tuple(out[:, :, v] for v in range(len(k3s)))
+
+
 def _colvar_vecs(vec: jax.Array, kb: jax.Array):
     """(s_top, s_full, s_bot) [B, W, Co] — see `_colvar_contrib`."""
-    return (_conv1d3(vec, kb[1:].sum(0)), _conv1d3(vec, kb.sum(0)),
-            _conv1d3(vec, kb[:2].sum(0)))
+    return _conv1d3_multi(
+        vec, (kb[1:].sum(0), kb.sum(0), kb[:2].sum(0)))
 
 
 def _rowvar_vecs(vec: jax.Array, kb: jax.Array):
     """(r_left, r_full, r_right) [B, H, Co] — see `_rowvar_contrib`."""
-    return (_conv1d3(vec, kb[:, 1:].sum(1)), _conv1d3(vec, kb.sum(1)),
-            _conv1d3(vec, kb[:, :2].sum(1)))
+    return _conv1d3_multi(
+        vec, (kb[:, 1:].sum(1), kb.sum(1), kb[:, :2].sum(1)))
 
 
 def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
@@ -266,11 +287,23 @@ def _resblock_init(key, cin: int, cout: int, emb_dim: int,
     return p
 
 
+def _tnorm_silu_fast(p: Dict, t: Triplane, film=None) -> Triplane:
+    """Inference fast path: GN32 (+FiLM) + SiLU per plane with the
+    normalize applied in compute dtype (`nn.group_norm32_film_silu`)."""
+    return Triplane(
+        nn.group_norm32_film_silu(p["xy"], t.xy, film),
+        nn.group_norm32_film_silu(p["xz"], t.xz, film),
+        nn.group_norm32_film_silu(p["yz"], t.yz, film))
+
+
 def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
                     use_scale_shift: bool, rollout: bool,
                     fused: bool = False) -> Triplane:
-    h = _tnorm_apply(p["in_norm"], t)
-    h = _tsilu(h)
+    if fused:
+        h = _tnorm_silu_fast(p["in_norm"], t)
+    else:
+        h = _tnorm_apply(p["in_norm"], t)
+        h = _tsilu(h)
     h = _tconv_apply(p["in_conv"], h, rollout, fused)
 
     emb_out = nn.linear(p["emb"], nn.silu(emb)).astype(h.xy.dtype)
@@ -278,14 +311,20 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
 
     if use_scale_shift:
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = _tnorm_apply(p["out_norm"], h)
-        h = h.map(lambda v: v * (1.0 + scale) + shift)
-        h = _tsilu(h)
+        if fused:
+            h = _tnorm_silu_fast(p["out_norm"], h, film=(scale, shift))
+        else:
+            h = _tnorm_apply(p["out_norm"], h)
+            h = h.map(lambda v: v * (1.0 + scale) + shift)
+            h = _tsilu(h)
         h = _tconv_apply(p["out_conv"], h, rollout, fused)
     else:
         h = h.map(lambda v: v + emb_out)
-        h = _tnorm_apply(p["out_norm"], h)
-        h = _tsilu(h)
+        if fused:
+            h = _tnorm_silu_fast(p["out_norm"], h)
+        else:
+            h = _tnorm_apply(p["out_norm"], h)
+            h = _tsilu(h)
         h = _tconv_apply(p["out_conv"], h, rollout, fused)
 
     skip = _tconv_apply(p["skip"], t, rollout=False) if "skip" in p else t
@@ -414,7 +453,10 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
         if level < n_levels - 1:
             h = _tup2x(h)
 
-    h = _tnorm_apply(params["out"]["norm"], h)
-    h = _tsilu(h)
+    if cfg.fused_conv:
+        h = _tnorm_silu_fast(params["out"]["norm"], h)
+    else:
+        h = _tnorm_apply(params["out"]["norm"], h)
+        h = _tsilu(h)
     h = _tconv_apply(params["out"]["conv"], h, rollout=False)
     return h.astype(x.dtype)

@@ -176,3 +176,28 @@ def test_torch_init_bounds():
     assert abs(w.mean()) < bound / 10
     p = nn.torch_linear_init(key, 64, 64)
     assert np.abs(np.asarray(p["w"])).max() <= 1 / 8
+
+
+def test_group_norm32_film_silu_matches_exact():
+    """Inference fast path == group_norm32 -> FiLM -> silu (fp32)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 64)).astype(np.float32))
+    p = {"g": jnp.asarray(rng.standard_normal(64).astype(np.float32)),
+         "b": jnp.asarray(rng.standard_normal(64).astype(np.float32))}
+    # no FiLM
+    exact = nn.silu(nn.group_norm32(p, x))
+    fast = nn.group_norm32_film_silu(p, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+    # with FiLM scale-shift
+    scale = jnp.asarray(rng.standard_normal((2, 1, 1, 64)).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal((2, 1, 1, 64)).astype(np.float32))
+    exact = nn.silu(nn.group_norm32(p, x) * (1.0 + scale) + shift)
+    fast = nn.group_norm32_film_silu(p, x, film=(scale, shift))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+    # bf16 input stays close to the fp32-exact reference
+    xb = x.astype(jnp.bfloat16)
+    fast_b = nn.group_norm32_film_silu(p, xb, film=(scale, shift))
+    np.testing.assert_allclose(np.asarray(fast_b, dtype=np.float32),
+                               np.asarray(exact), rtol=0.05, atol=0.05)
