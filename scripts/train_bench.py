@@ -76,7 +76,7 @@ def bench_diffusion(sizes=(128, 128, 88), batch=32, iters=30,
                                                init_train_state,
                                                make_train_step)
 
-    ucfg = UNetConfig(compute_dtype=jnp.bfloat16)
+    ucfg = UNetConfig(compute_dtype=jnp.bfloat16, fast_norm=True)
     params = init_unet(jax.random.PRNGKey(0), ucfg)
     tables = {k: jnp.asarray(v)
               for k, v in make_schedule("linear", 1000).tables_f32().items()}

@@ -301,7 +301,10 @@ def unet_config_from_args(args):
         use_checkpoint=args.use_checkpoint,
         use_scale_shift_norm=args.use_scale_shift_norm,
         rollout=(args.diff_net_type != "unet_raw"),
-        compute_dtype=jnp.bfloat16 if args.use_fp16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if args.use_fp16 else jnp.float32,
+        # bf16 compute pairs with the compute-dtype GN apply (fp32 stats
+        # kept); fp32 compute keeps the bit-exact norm path
+        fast_norm=bool(args.use_fp16))
 
 
 def diffusion_config_from_args(args):

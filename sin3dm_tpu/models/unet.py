@@ -47,6 +47,12 @@ class UNetConfig(NamedTuple):
     # per-step relayout copies XLA inserts around batch-1 convs.
     # Samplers switch it on (see cli/sample.py); training must not.
     fused_conv: bool = False
+    # GN32+FiLM+SiLU with fp32 statistics but compute-dtype apply
+    # (nn.group_norm32_film_silu).  Differentiable — safe for training;
+    # config wiring enables it with bfloat16 compute (use_fp16), where
+    # the exact path's bf16->fp32 astype relayout copies cost ~20 ms per
+    # train step.  Always on under fused_conv.
+    fast_norm: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -298,8 +304,10 @@ def _tnorm_silu_fast(p: Dict, t: Triplane, film=None) -> Triplane:
 
 def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
                     use_scale_shift: bool, rollout: bool,
-                    fused: bool = False) -> Triplane:
-    if fused:
+                    fused: bool = False,
+                    fast_norm: bool = False) -> Triplane:
+    fast_norm = fast_norm or fused
+    if fast_norm:
         h = _tnorm_silu_fast(p["in_norm"], t)
     else:
         h = _tnorm_apply(p["in_norm"], t)
@@ -311,7 +319,7 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
 
     if use_scale_shift:
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        if fused:
+        if fast_norm:
             h = _tnorm_silu_fast(p["out_norm"], h, film=(scale, shift))
         else:
             h = _tnorm_apply(p["out_norm"], h)
@@ -320,7 +328,7 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
         h = _tconv_apply(p["out_conv"], h, rollout, fused)
     else:
         h = h.map(lambda v: v + emb_out)
-        if fused:
+        if fast_norm:
             h = _tnorm_silu_fast(p["out_norm"], h)
         else:
             h = _tnorm_apply(p["out_norm"], h)
@@ -424,7 +432,7 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
     def run_block(p, t, e):
         fn = lambda pp, tt, ee: _resblock_apply(
             pp, tt, ee, cfg.use_scale_shift_norm, cfg.rollout,
-            fused=cfg.fused_conv)
+            fused=cfg.fused_conv, fast_norm=cfg.fast_norm)
         if cfg.use_checkpoint:
             fn = jax.checkpoint(fn)
         return fn(p, t, e)
@@ -453,7 +461,7 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
         if level < n_levels - 1:
             h = _tup2x(h)
 
-    if cfg.fused_conv:
+    if cfg.fused_conv or cfg.fast_norm:
         h = _tnorm_silu_fast(params["out"]["norm"], h)
     else:
         h = _tnorm_apply(params["out"]["norm"], h)

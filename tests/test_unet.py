@@ -218,3 +218,31 @@ def test_very_deep_channel_mult_does_not_exhaust_keys():
                      channel_mult=(1,) * 31, num_res_blocks=1)
     params = init_unet(jax.random.PRNGKey(0), cfg)
     assert len(params["down"]) == 31
+
+
+def test_fast_norm_training_path_parity_and_grad():
+    """cfg.fast_norm=True (compute-dtype GN apply, fp32 stats) matches the
+    exact path in fp32 and is differentiable (it is enabled for bf16
+    TRAINING, not just inference)."""
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    for pl in ("xy", "xz", "yz"):  # un-zero the output conv
+        params["out"]["conv"][pl]["w"] = (
+            params["out"]["conv"][pl]["w"] + 0.01)
+    from sin3dm_tpu.core.triplane import randn
+    x = randn(jax.random.PRNGKey(1), 2, 4, (12, 10, 6))
+    t = jnp.array([3, 500], dtype=jnp.int32)
+    y_ref = unet_apply(params, cfg, x, t)
+    y_fast = unet_apply(params, cfg._replace(fast_norm=True), x, t)
+    for a, b in zip(y_fast, y_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    def loss(p):
+        out = unet_apply(p, cfg._replace(fast_norm=True), x, t)
+        return sum(jnp.sum(v ** 2) for v in out)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, v: a + float(jnp.sum(jnp.abs(v))), g, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
