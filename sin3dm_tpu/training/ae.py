@@ -398,6 +398,7 @@ class AETrainer:
         self._jit_process = None
         self._jit_decode = None
         self._jit_grid_dense = {}
+        self._sparse_jit = None
         # Serializes device dispatch when decode_texmesh runs for several
         # samples in concurrent threads: CPU geometry stages overlap, but
         # interleaved TPU dispatches from multiple host threads thrash the
@@ -739,10 +740,18 @@ class AETrainer:
         for idx, (save_dir, feat, new_aabb) in enumerate(
                 zip(save_dirs, feats, aabbs)):
             t0 = time.perf_counter()
-            arr, quant = grid_handles[idx]
-            if quant is not None:  # int8 wire format -> dequantize on host
+            arr, quant, sparse = grid_handles[idx]
+            if (sparse is not None
+                    and int(sparse.count) <= sparse.block_ids.shape[0]):
+                # sparse near-surface wire format (~4x smaller transfer):
+                # MC-exact reconstruction from sign bits + flagged blocks
+                from ..ops import sparse_grid as _sg
+                sdf_grid = _sg.decode_host(sparse, quant)
+            elif quant is not None:  # int8 wire -> dequantize on host
                 # floor-quantized: bucket k covers [k, k+1) -> center k+.5
                 # (keeps sdf<0 sign-exact and halves the offset)
+                # (also the fallback when a pathological surface overflows
+                # the sparse block budget — the dense array was kept)
                 sdf_grid = ((np.asarray(arr)[..., 0].astype(np.float32)
                              + 0.5) * (quant / 127.0))
             else:
@@ -858,11 +867,28 @@ class AETrainer:
                 self.params, self.acfg, gp, tp, res, 8, True,
                 self._fused_heads(),
                 None if quant is not None else jnp.float16, quant)
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass  # backends without async host copies still work
-        return out, quant
+            sparse = None
+            if (quant is not None
+                    and os.environ.get("SIN3DM_SPARSE_GRID", "1") != "0"):
+                from ..ops import sparse_grid as _sg
+                if self._sparse_jit is None:
+                    self._sparse_jit = jax.jit(
+                        lambda q: tuple(_sg.encode(q))[:4])
+                signs, ids, vals, count = self._sparse_jit(out[..., 0])
+                P = tuple(-(-int(s) // _sg.BLOCK) * _sg.BLOCK
+                          for s in out.shape[:3])
+                sparse = _sg.SparseGrid(signs, ids, vals, count,
+                                        tuple(int(s) for s in
+                                              out.shape[:3]), P)
+        arrs = ((out,) if sparse is None
+                else (sparse.signs, sparse.block_ids, sparse.block_vals,
+                      sparse.count))
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # backends without async host copies still work
+        return out, quant, sparse
 
     def _dispatch_texels(self, feat: Triplane, points: np.ndarray, aabb,
                          batch_size: int = 2 ** 20):
