@@ -46,12 +46,21 @@ def _build_sampler(args):
     print("H, W, D:", H, W, D)
 
     ucfg = cfgmod.unet_config_from_args(args)
-    if (jax.default_backend() != "cpu"
-            and os.environ.get("SIN3DM_FUSED_CONV", "1") != "0"):
-        # inference-only pallas conv path (models/unet.py UNetConfig):
-        # kills the per-step relayout copies around batch-1 convs.  CPU
-        # keeps the XLA path (pallas CPU = slow interpreter).
-        ucfg = ucfg._replace(fused_conv=True)
+    if jax.default_backend() != "cpu":
+        if os.environ.get("SIN3DM_FUSED_CONV", "1") != "0":
+            # inference-only pallas conv path (models/unet.py UNetConfig):
+            # kills the per-step relayout copies around batch-1 convs.
+            # CPU keeps the XLA path (pallas CPU = slow interpreter).
+            ucfg = ucfg._replace(fused_conv=True)
+        if os.environ.get("SIN3DM_SAMPLE_DTYPE", "bf16") == "bf16":
+            # inference runs bfloat16 on TPU regardless of the training
+            # dtype: the sampler is bandwidth-bound, fp32 chains cost
+            # ~40% more and (at batch>1) overflow the fused kernel's
+            # VMEM budget.  LP quality metrics are unchanged (RESULTS).
+            # SIN3DM_SAMPLE_DTYPE=train restores the args.json dtype.
+            import jax.numpy as _jnp
+            ucfg = ucfg._replace(compute_dtype=_jnp.bfloat16,
+                                 fast_norm=True)
     params = init_unet(jax.random.PRNGKey(0), ucfg)
     model_path = cfgmod.diffusion_model_path(args.tag, args.ema_rate,
                                              args.diff_n_iters)

@@ -236,6 +236,11 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
 
 def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
                  fused: bool = False) -> Triplane:
+    # the pallas path is sized for 2-byte compute; a 4-byte activation
+    # (fp32 sampler) overflows the 16MB scoped-VMEM limit at batch>1 —
+    # keep XLA convs there (bf16 is the production sampling dtype)
+    if fused and jnp.dtype(t.xy.dtype).itemsize > 2:
+        fused = False
     if rollout:
         if p["xy"]["w"].shape[0] == 3 and min(t.sizes) >= 2:
             return _tconv_apply_rollout_fast(p, t, fused=fused)

@@ -107,12 +107,17 @@ def conv3x3_rollout_fused(
     # linearity, split the input channels: the first chunk carries bias
     # + rollout contributions, the rest are plain partial convs summed
     # on top (the channel slices fuse into each kernel's input pad).
-    if C > 128:
+    # The budget scales with element size: fp32 (a non-use_fp16 sampler)
+    # gets half the channel chunk and half the default row tile — an
+    # unsplit fp32 conv at 128x96-scale planes overflows scoped VMEM.
+    elem = jnp.dtype(mxu_dtype).itemsize
+    c_max = 128 if elem <= 2 else 64
+    if C > c_max:
         y = conv3x3_rollout_fused(
-            x[..., :128], w[:, :, :128], b, col3, row3,
+            x[..., :c_max], w[:, :, :c_max], b, col3, row3,
             tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype)
-        for lo in range(128, C, 128):
-            hi = min(lo + 128, C)
+        for lo in range(c_max, C, c_max):
+            hi = min(lo + c_max, C)
             y = y + conv3x3_rollout_fused(
                 x[..., lo:hi], w[:, :, lo:hi], None,
                 tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype)
@@ -120,7 +125,8 @@ def conv3x3_rollout_fused(
 
     if tile_h is None:
         import os
-        tile_h = int(os.environ.get("SIN3DM_FUSED_TILE", "16"))
+        tile_h = int(os.environ.get("SIN3DM_FUSED_TILE",
+                                    "16" if elem <= 2 else "8"))
     TH = tile_h
     HP = _round_up(H, TH)
     WP = _round_up(W, 16)
