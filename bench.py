@@ -265,7 +265,9 @@ def main():
     min_passes = max(1, int(os.environ.get("SIN3DM_BENCH_PASSES", "3")))
     max_passes = max(min_passes,
                      int(os.environ.get("SIN3DM_BENCH_MAX_PASSES", "8")))
-    quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "17"))
+    # quiet-host best is ~9s since the sparse grid wire + bf16 chains —
+    # keep hunting while the best pass is >25% above that
+    quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "11.5"))
     results = []
     p = 0
     while p < max_passes and (p < min_passes
