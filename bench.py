@@ -270,8 +270,12 @@ def main():
     quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "11.5"))
     results = []
     p = 0
+    t_phase = time.perf_counter()
+    budget_s = float(os.environ.get("SIN3DM_BENCH_BUDGET_S", "360"))
     while p < max_passes and (p < min_passes
-                              or min(results)[0] > quiet_total):
+                              or (min(results)[0] > quiet_total
+                                  and time.perf_counter() - t_phase
+                                  < budget_s)):
         if p > 0:
             time.sleep(15)
 
