@@ -43,9 +43,14 @@ def save_pytree(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8)
     # write through a file object: np.savez would otherwise append ".npz",
-    # breaking the reference file-name contract (ema_*.pt, ckpt_final.pth)
-    with open(path, "wb") as f:
+    # breaking the reference file-name contract (ema_*.pt, ckpt_final.pth).
+    # tmp + atomic rename: a crash/preemption mid-write must not corrupt
+    # the checkpoint being replaced (ckpt_latest.pth is the ONLY resume
+    # point of a preempted AE run)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, like: Any):

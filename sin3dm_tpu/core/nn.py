@@ -87,7 +87,11 @@ def conv2d(p, x, stride: int = 1, padding="SAME"):
     (profiled at ~10 us/step each inside the sampling chain); a dot
     contraction over the channel axis needs none of that."""
     w = p["w"].astype(x.dtype)
-    if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1:
+    # the dot fast path is only shape-equivalent for string paddings
+    # (1x1 SAME == VALID); explicit numeric padding must take the
+    # general conv so the pads are actually applied
+    if (w.shape[0] == 1 and w.shape[1] == 1 and stride == 1
+            and isinstance(padding, str)):
         y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0])
     else:
         y = lax.conv_general_dilated(

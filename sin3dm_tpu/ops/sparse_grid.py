@@ -50,6 +50,13 @@ class SparseGrid(NamedTuple):
     padded: Tuple[int, int, int]         # multiple-of-BLOCK shape
 
 
+def padded_shape(shape) -> Tuple[int, int, int]:
+    """The multiple-of-BLOCK shape `encode` pads to — THE one place the
+    padding rule lives (callers reconstructing a SparseGrid from the
+    encode arrays must use this, not re-derive it)."""
+    return tuple(-(-int(s) // BLOCK) * BLOCK for s in shape)
+
+
 def _pad_to_block(q: jax.Array) -> jax.Array:
     X, Y, Z = q.shape
     px, py, pz = [(-s) % BLOCK for s in (X, Y, Z)]

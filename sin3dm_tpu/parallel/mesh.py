@@ -44,7 +44,8 @@ def maybe_initialize_distributed() -> bool:
         SIN3DM_DIST=1 SIN3DM_COORDINATOR=10.0.0.1:1234 \
         SIN3DM_NUM_PROCESSES=2 SIN3DM_PROCESS_ID=0 python -m ...
     """
-    if os.environ.get("SIN3DM_DIST", "") in ("", "0"):
+    if os.environ.get("SIN3DM_DIST", "").lower() not in (
+            "1", "true", "yes", "on"):
         return False
     # must not touch the backend (jax.process_count would initialize it)
     if jax.distributed.is_initialized():

@@ -821,10 +821,12 @@ class AETrainer:
                     pending_in=pending_asm, **decode_kwargs)
                 pending = None
                 pending_asm = None
-        except BaseException:
+        except Exception:
             # Drain deferred work so already-sampled chunks still export:
             # a failure mid-pipeline must not silently drop the assembly of
             # earlier samples whose decode was deferred (ADVICE r1).
+            # Exception only — KeyboardInterrupt/SystemExit must abort
+            # promptly, not run minutes of decode first.
             try:
                 if pending is not None:
                     self.decode_texmesh_many(
@@ -875,11 +877,9 @@ class AETrainer:
                     self._sparse_jit = jax.jit(
                         lambda q: tuple(_sg.encode(q))[:4])
                 signs, ids, vals, count = self._sparse_jit(out[..., 0])
-                P = tuple(-(-int(s) // _sg.BLOCK) * _sg.BLOCK
-                          for s in out.shape[:3])
-                sparse = _sg.SparseGrid(signs, ids, vals, count,
-                                        tuple(int(s) for s in
-                                              out.shape[:3]), P)
+                shape3 = tuple(int(s) for s in out.shape[:3])
+                sparse = _sg.SparseGrid(signs, ids, vals, count, shape3,
+                                        _sg.padded_shape(shape3))
         arrs = ((out,) if sparse is None
                 else (sparse.signs, sparse.block_ids, sparse.block_vals,
                       sparse.count))
