@@ -170,3 +170,53 @@ def test_compilation_cache_config(tmp_path, monkeypatch):
 
     monkeypatch.setenv("SIN3DM_COMPILE_CACHE", "off")
     assert enable_compilation_cache() is None
+
+
+def test_save_pytree_atomic_no_tmp_left(tmp_path):
+    """Checkpoint writes go through tmp + os.replace: the final file is
+    valid and no .tmp residue remains (a preemption mid-write must never
+    corrupt an existing checkpoint)."""
+    import numpy as np
+
+    from sin3dm_tpu.core import checkpoint as ckpt
+
+    path = str(tmp_path / "ckpt_latest.pth")
+    tree = {"a": np.arange(5, dtype=np.float32)}
+    ckpt.save_pytree(path, tree, meta={"k": 1})
+    # overwrite (the resume-critical case)
+    ckpt.save_pytree(path, {"a": np.arange(5, dtype=np.float32) * 2},
+                     meta={"k": 2})
+    assert not os.path.exists(path + ".tmp")
+    loaded, meta = ckpt.load_pytree(path, tree)
+    np.testing.assert_array_equal(loaded["a"],
+                                  np.arange(5, dtype=np.float32) * 2)
+    assert meta == {"k": 2}
+
+
+def test_dist_gate_requires_explicit_truthy(monkeypatch):
+    """SIN3DM_DIST=false/no/0/'' must NOT initialize jax.distributed."""
+    from sin3dm_tpu.parallel import mesh as M
+
+    for v in ("", "0", "false", "no", "off", "False"):
+        monkeypatch.setenv("SIN3DM_DIST", v)
+        assert M.maybe_initialize_distributed() is False
+
+
+def test_conv2d_1x1_numeric_padding_not_dropped():
+    """Explicit numeric padding on a 1x1 conv must be applied (the dot
+    fast path is gated to string paddings)."""
+    import numpy as np
+
+    from sin3dm_tpu.core import nn
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 5, 3)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.standard_normal((1, 1, 3, 2))
+                          .astype(np.float32))}
+    y = nn.conv2d(p, x, padding=((1, 1), (1, 1)))
+    assert y.shape == (1, 6, 7, 2)
+    # interior equals the unpadded conv; border rows are zero
+    y_same = nn.conv2d(p, x, padding="SAME")
+    np.testing.assert_allclose(np.asarray(y[:, 1:-1, 1:-1]),
+                               np.asarray(y_same), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y[:, 0]), 0.0)
