@@ -140,12 +140,14 @@ def parametrize(v: np.ndarray, f: np.ndarray, padding: float = 0.004
         mapping = {vid: i for i, vid in enumerate(vids)}
         chart_vert_uv.append((faces_c, mapping, uv))
 
-    # first-fit-decreasing-height shelf packing; binary search the global
-    # scale for the largest layout that fits [0,1]^2
+    # two packers, best-of (r2): FFDH shelves (r1's layout; near-optimal
+    # when chart heights cluster) and skyline bottom-left (wins on mixed
+    # sizes).  The global scale is binary-searched per packer for the
+    # largest layout that fits [0,1]^2 and the better scale is kept.
     order = sorted(range(n_charts),
                    key=lambda c: -chart_rects[c][1])  # by height desc
 
-    def try_pack(scale):
+    def pack_shelf(scale):
         pos = {}
         shelves = []  # [y, height, x_used]
         y_top = 0.0
@@ -169,20 +171,85 @@ def parametrize(v: np.ndarray, f: np.ndarray, padding: float = 0.004
                 y_top += h
         return pos
 
+    def pack_skyline(scale):
+        pos = {}
+        # skyline: sorted list of (x, y, width) segments spanning [0,1]
+        sky = [(0.0, 0.0, 1.0)]
+        for c in order:
+            w = chart_rects[c][0] * scale + 2 * padding
+            h = chart_rects[c][1] * scale + 2 * padding
+            if w > 1.0 or h > 1.0:
+                return None
+            # best (lowest resting y, then leftmost) left-edge position:
+            # try each segment start
+            best = None  # (y, x, i)
+            for i, (sx, sy, sw) in enumerate(sky):
+                if sx + w > 1.0 + 1e-12:
+                    break  # segments are sorted by x; no fit further right
+                # resting height = max skyline over [sx, sx + w)
+                y = sy
+                x_end = sx + w
+                j = i
+                while j < len(sky) and sky[j][0] < x_end - 1e-12:
+                    y = max(y, sky[j][1])
+                    j += 1
+                if y + h <= 1.0 + 1e-12 and (best is None
+                                             or (y, sx) < (best[0], best[1])):
+                    best = (y, sx, i)
+            if best is None:
+                return None
+            y, x, i = best
+            pos[c] = (x + padding, y + padding)
+            # update skyline: segment [x, x+w) at height y+h
+            x_end = x + w
+            new_sky = []
+            for (sx, sy, sw) in sky:
+                se = sx + sw
+                if se <= x + 1e-12 or sx >= x_end - 1e-12:
+                    new_sky.append((sx, sy, sw))
+                    continue
+                if sx < x - 1e-12:           # left remainder
+                    new_sky.append((sx, sy, x - sx))
+                if se > x_end + 1e-12:       # right remainder
+                    new_sky.append((x_end, sy, se - x_end))
+            new_sky.append((x, y + h, w))
+            new_sky.sort(key=lambda s: s[0])
+            # merge adjacent equal-height segments
+            merged = [new_sky[0]]
+            for s in new_sky[1:]:
+                px, py, pw = merged[-1]
+                if abs(s[1] - py) < 1e-12 and abs(px + pw - s[0]) < 1e-9:
+                    merged[-1] = (px, py, pw + s[2])
+                else:
+                    merged.append(s)
+            sky = merged
+        return pos
+
     total_area = sum(w * h for w, h in chart_rects)
-    hi = 1.0 / np.sqrt(total_area) if total_area > 0 else 1.0
-    lo = hi * 1e-3
-    pos = try_pack(lo)
+    hi0 = 1.0 / np.sqrt(total_area) if total_area > 0 else 1.0
+
+    def search(try_pack):
+        hi = hi0
+        lo = hi * 1e-3
+        pos = try_pack(lo)
+        if pos is None:
+            return 0.0, None
+        for _ in range(40):
+            mid = 0.5 * (lo + hi)
+            p = try_pack(mid)
+            if p is not None:
+                lo, pos = mid, p
+            else:
+                hi = mid
+        return lo, pos
+
+    import os as _os
+    cand = {"shelf": search(pack_shelf), "skyline": search(pack_skyline)}
+    if _os.environ.get("SIN3DM_UV_DEBUG"):
+        print({k: round(float(v[0]), 6) for k, v in cand.items()})
+    scale, pos = max(cand.values(), key=lambda sp: sp[0])
     if pos is None:
         raise RuntimeError("uv packing failed even at minimal scale")
-    for _ in range(40):
-        mid = 0.5 * (lo + hi)
-        p = try_pack(mid)
-        if p is not None:
-            lo, pos = mid, p
-        else:
-            hi = mid
-    scale = lo
 
     # emit uvs
     uvs_out = []
