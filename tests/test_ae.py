@@ -213,3 +213,30 @@ def test_uvatlas_texel_utilization():
     assert mask.mean() >= 0.55, mask.mean()
     # uvs all inside the unit square
     assert uvs.min() >= 0 and uvs.max() <= 1
+
+
+def test_uvatlas_charts_rasterize_disjoint():
+    """Definitive overlap check: rasterizing each chart SEPARATELY into
+    the shared atlas must claim disjoint texel sets (guards any future
+    packer change — rect layouts are disjoint by construction, but this
+    is the property texture baking actually needs)."""
+    from sin3dm_tpu.geometry import native, uvatlas
+
+    n = 48
+    xs = np.linspace(-1, 1, n, dtype=np.float32)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    r = np.linalg.norm(g, axis=-1)
+    bump = 0.08 * np.sin(5 * g[..., 0]) * np.sin(4 * g[..., 1])
+    sdf = (r - 0.65 + bump).astype(np.float32)
+    v, f = native.marching_cubes(sdf, 0.0)
+    v2, f2 = native.decimate(v, f, 2500)
+
+    uvs, tex_idx = uvatlas.parametrize(v2, f2)
+    chart, _ = uvatlas._charts_by_axis(v2, f2)
+    res = 512
+    total = np.zeros((res, res), np.int32)
+    for c in range(chart.max() + 1):
+        fsel = chart == c
+        _, mask = native.rasterize_uv(uvs, tex_idx[fsel], v2, f2[fsel], res)
+        total += mask.astype(np.int32)
+    assert total.max() <= 1, f"{(total > 1).sum()} texels claimed twice"
