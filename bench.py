@@ -197,7 +197,37 @@ def _setup_synthetic():
     return sampler, trainer, ucfg.in_channels, sizes
 
 
+def _tpu_tunnel_alive() -> bool:
+    """Fail-fast health probe for the axon TPU relay.
+
+    When the tunneled terminal dies (observed in this container: port
+    8103 stops listening), `jax.devices()` HANGS in the PJRT client
+    rather than erroring — a bench run then blocks until killed with no
+    diagnostic.  Probe the remote-compile relay port with a short TCP
+    connect first; if the env says no axon tunnel is in play, pass.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # local backend (CPU/TPU-direct): nothing to probe
+    host = os.environ["PALLAS_AXON_POOL_IPS"].split(",")[0]
+    port = int(os.environ.get("SIN3DM_TPU_HEALTH_PORT", "8103"))
+    import socket
+    try:
+        with socket.create_connection((host, port), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    if not _tpu_tunnel_alive():
+        log("TPU tunnel relay is not reachable (jax.devices() would "
+            "hang); aborting instead of hanging")
+        print(json.dumps({
+            "metric": "generate4_ddpm1000_decode256_wallclock",
+            "value": None, "unit": "seconds", "vs_baseline": None,
+            "error": "tpu tunnel down (relay port closed)"}))
+        sys.exit(1)
+
     from sin3dm_tpu.core.compile_cache import enable_compilation_cache
     enable_compilation_cache()
 
