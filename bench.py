@@ -218,14 +218,38 @@ def _tpu_tunnel_alive() -> bool:
         return False
 
 
+def _wait_for_tunnel() -> bool:
+    """Poll the relay until it answers or the wait budget runs out.
+
+    The axon relay has been observed to drop for minutes at a time; a
+    one-shot probe at the driver's capture moment voids the round's
+    official number (that is exactly what happened in round 2).  Poll
+    every `SIN3DM_BENCH_POLL_S` (30 s) for up to `SIN3DM_BENCH_WAIT`
+    seconds (default 15 min) before giving up."""
+    if _tpu_tunnel_alive():
+        return True
+    wait_s = float(os.environ.get("SIN3DM_BENCH_WAIT", "900"))
+    poll_s = float(os.environ.get("SIN3DM_BENCH_POLL_S", "30"))
+    deadline = time.monotonic() + wait_s
+    log(f"TPU tunnel relay not reachable; polling every {poll_s:.0f}s "
+        f"for up to {wait_s / 60:.0f} min before giving up")
+    while time.monotonic() < deadline:
+        time.sleep(min(poll_s, max(0.0, deadline - time.monotonic())))
+        if _tpu_tunnel_alive():
+            log("tunnel relay came back; proceeding")
+            return True
+    return False
+
+
 def main():
-    if not _tpu_tunnel_alive():
+    if not _wait_for_tunnel():
         log("TPU tunnel relay is not reachable (jax.devices() would "
             "hang); aborting instead of hanging")
         print(json.dumps({
             "metric": "generate4_ddpm1000_decode256_wallclock",
             "value": None, "unit": "seconds", "vs_baseline": None,
-            "error": "tpu tunnel down (relay port closed)"}))
+            "error": "tpu tunnel down (relay port closed; waited "
+                     + os.environ.get("SIN3DM_BENCH_WAIT", "900") + "s)"}))
         sys.exit(1)
 
     from sin3dm_tpu.core.compile_cache import enable_compilation_cache
