@@ -41,6 +41,30 @@ def sdfgrid_to_mesh(sdf_grid: np.ndarray, only_largest_cc: bool = True,
     return v, f
 
 
+def sdfgrid_to_mesh_sparse(sparse, quant: float,
+                           only_largest_cc: bool = True
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """`sdfgrid_to_mesh` fed straight from the sparse near-surface wire
+    (`ops/sparse_grid.SparseGrid`) — same pad-by-one/+1.0 + iso-0 +
+    largest-CC semantics (`src/encoding/utils3d.py:196-213`), but the
+    dense fp32 grid and its padded copy are never materialized on the
+    host.  Verts/tris are bit-identical to the dense path (tested in
+    tests/test_sparse_grid.py)."""
+    v, f = native.marching_cubes_sparse(
+        np.asarray(sparse.signs), np.asarray(sparse.block_ids),
+        np.asarray(sparse.block_vals), int(sparse.count),
+        sparse.shape, sparse.padded, quant)
+    v = v - 1.0
+    if only_largest_cc and len(f) > 0:
+        comp, n = native.face_components(f, len(v))
+        if n > 1:
+            counts = np.bincount(comp, minlength=n)
+            keep = comp == np.argmax(counts)
+            f = f[keep]
+            v, f = remove_unreferenced_vertices(v, f)
+    return v, f
+
+
 def remove_unreferenced_vertices(v: np.ndarray, f: np.ndarray
                                  ) -> Tuple[np.ndarray, np.ndarray]:
     # boolean-mask + cumsum remap: ~10x faster than np.unique on the

@@ -55,6 +55,12 @@ def lib() -> ctypes.CDLL:
         c_float_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ctypes.POINTER(c_float_p), c_int_p, ctypes.POINTER(c_int_p), c_int_p]
     L.geo_marching_cubes.restype = ctypes.c_int
+    L.geo_marching_cubes_sparse.argtypes = [
+        c_ubyte_p, c_int_p, ctypes.POINTER(ctypes.c_byte),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(c_float_p), c_int_p, ctypes.POINTER(c_int_p), c_int_p]
+    L.geo_marching_cubes_sparse.restype = ctypes.c_int
     L.geo_connected_components.argtypes = [c_int_p, ctypes.c_int,
                                            ctypes.c_int, c_int_p]
     L.geo_connected_components.restype = ctypes.c_int
@@ -117,6 +123,49 @@ def marching_cubes(grid: np.ndarray,
         ctypes.byref(nt))
     if rc != 0:
         raise RuntimeError("marching_cubes failed")
+    v = _take_floats(vp, nv.value * 3).reshape(-1, 3).astype(np.float64)
+    f = _take_ints(tp, nt.value * 3).reshape(-1, 3).astype(np.int64)
+    return v, f
+
+
+def marching_cubes_sparse(signs: np.ndarray, block_ids: np.ndarray,
+                          block_vals: np.ndarray, count: int,
+                          shape: Tuple[int, int, int],
+                          padded: Tuple[int, int, int],
+                          quant: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Iso-0 surface straight from the sparse near-surface wire format
+    (`ops/sparse_grid.SparseGrid`) — skips the dense fp32 grid rebuild and
+    the one-layer pad copy entirely.  Bit-identical verts/tris to
+    `marching_cubes(pad(decode_host(sg), 1, 1.0), 0.0)`; vertices are in
+    the PADDED (virtual) index space, i.e. callers subtract 1 exactly as
+    `sdfgrid_to_mesh` does after the dense call."""
+    if int(count) > len(np.asarray(block_ids).reshape(-1)):
+        # overflowed block budget: flagged blocks beyond capacity were
+        # dropped by the encoder — reconstruction is impossible; callers
+        # must fall back to the dense grid (ops/sparse_grid.py contract)
+        raise ValueError(
+            f"sparse grid overflow: {int(count)} flagged blocks > "
+            f"capacity {len(np.asarray(block_ids).reshape(-1))}")
+    s = np.ascontiguousarray(signs, dtype=np.uint8)
+    ids = _i32(block_ids)
+    vals = np.ascontiguousarray(block_vals, dtype=np.int8)
+    X, Y, Z = (int(x) for x in shape)
+    PX, PY, PZ = (int(x) for x in padded)
+    # float32(quant/127) so the C-side (q+0.5)*dq product reproduces
+    # decode_host's numpy float32 arithmetic bit-for-bit
+    dq = np.float32(float(quant) / 127.0)
+    vp = c_float_p()
+    tp = c_int_p()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib().geo_marching_cubes_sparse(
+        s.ctypes.data_as(c_ubyte_p), ids.ctypes.data_as(c_int_p),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)), int(count),
+        X, Y, Z, PX, PY, PZ, float(dq),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    if rc != 0:
+        raise RuntimeError("marching_cubes_sparse failed")
     v = _take_floats(vp, nv.value * 3).reshape(-1, 3).astype(np.float64)
     f = _take_ints(tp, nt.value * 3).reshape(-1, 3).astype(np.int64)
     return v, f

@@ -13,8 +13,8 @@ the exact-reconstruction payload is:
   shipped as fixed-capacity 4^3 blocks (top-K flagged blocks + int32
   block ids).
 
-For real shapes the crossing shell flags a few percent of blocks; the
-default capacity is 1/6 of all blocks (~4x total reduction).  If a
+For real shapes the crossing shell flags ~10% of blocks; the default
+capacity is 1/5 of all blocks (~3x total reduction).  If a
 pathological surface overflows the budget (`count > capacity`), the
 caller falls back to the dense grid — the dense device array is kept
 un-fetched, so the fallback costs one transfer, not a re-decode.
@@ -136,6 +136,17 @@ def encode(q: jax.Array, capacity: int | None = None) -> SparseGrid:
 
 def wire_bytes(sg: SparseGrid) -> int:
     return (sg.signs.size + sg.block_ids.size * 4 + sg.block_vals.size + 4)
+
+
+def occupancy_host(sg: SparseGrid) -> np.ndarray:
+    """Occupancy (sdf < 0) [X, Y, Z] bool straight from the sign bitmap —
+    what voxel.npz stores; identical to `decode_host(sg, q) < 0` because
+    floor quantization keeps every voxel's sign exact."""
+    P = sg.padded
+    n = P[0] * P[1] * P[2]
+    bits = np.unpackbits(np.asarray(sg.signs))[:n].reshape(P)
+    X, Y, Z = sg.shape
+    return bits[:X, :Y, :Z].astype(bool)
 
 
 def decode_host(sg: SparseGrid, quant: float) -> np.ndarray:

@@ -741,28 +741,45 @@ class AETrainer:
                 zip(save_dirs, feats, aabbs)):
             t0 = time.perf_counter()
             arr, quant, sparse = grid_handles[idx]
+            sdf_grid = None
             if (sparse is not None
                     and int(sparse.count) <= sparse.block_ids.shape[0]):
-                # sparse near-surface wire format (~4x smaller transfer):
+                # sparse near-surface wire format (~3x smaller transfer):
                 # MC-exact reconstruction from sign bits + flagged blocks
                 from ..ops import sparse_grid as _sg
-                sdf_grid = _sg.decode_host(sparse, quant)
+                if os.environ.get("SIN3DM_SPARSE_MC", "1") != "0":
+                    # marching cubes consumes the wire directly (the dense
+                    # fp32 grid is never materialized on the host); fetch
+                    # the async-copied payload into numpy here
+                    sparse = _sg.SparseGrid(
+                        np.asarray(sparse.signs),
+                        np.asarray(sparse.block_ids),
+                        np.asarray(sparse.block_vals),
+                        int(sparse.count), sparse.shape, sparse.padded)
+                else:
+                    sdf_grid = _sg.decode_host(sparse, quant)
+                    sparse = None
             elif quant is not None:  # int8 wire -> dequantize on host
                 # floor-quantized: bucket k covers [k, k+1) -> center k+.5
                 # (keeps sdf<0 sign-exact and halves the offset)
                 # (also the fallback when a pathological surface overflows
                 # the sparse block budget — the dense array was kept)
+                sparse = None
                 sdf_grid = ((np.asarray(arr)[..., 0].astype(np.float32)
                              + 0.5) * (quant / 127.0))
             else:
+                sparse = None
                 sdf_grid = np.asarray(arr, np.float32)[..., 0]
             arr = None
             grid_handles[idx] = None  # free device + host buffers
-            t0 = tick(f"sdf grid {sdf_grid.shape}", t0)
+            t0 = tick("sdf grid "
+                      + ("(sparse wire)" if sparse is not None
+                         else str(sdf_grid.shape)), t0)
             cpu = self._texmesh_geometry(
                 save_dir, feat, sdf_grid, new_aabb, reso, n_faces,
                 n_surf_pc, texture_reso, only_largest_cc,
-                save_highres_mesh, save_voxel, tick, t0)
+                save_highres_mesh, save_voxel, tick, t0,
+                sparse=sparse, quant=quant)
             if cpu is None:  # empty surface / sdf-only: nothing to bake
                 continue
             texel_handle = self._dispatch_texels(
@@ -924,19 +941,32 @@ class AETrainer:
                           sdf_grid: np.ndarray, new_aabb, reso: int,
                           n_faces: int, n_surf_pc: int, texture_reso: int,
                           only_largest_cc: bool, save_highres_mesh: bool,
-                          save_voxel: bool, tick, t0):
+                          save_voxel: bool, tick, t0,
+                          sparse=None, quant=None):
         """Host geometry stages: MC -> largest CC -> renorm -> decimate ->
-        UV atlas + raster.  Returns None when there is nothing to bake."""
+        UV atlas + raster.  Returns None when there is nothing to bake.
+
+        With `sparse` set (a host-fetched ops/sparse_grid.SparseGrid),
+        marching cubes and the voxel occupancy read the wire format
+        directly and `sdf_grid` may be None — the dense grid is never
+        rebuilt (bit-identical output, tests/test_sparse_grid.py)."""
         from ..geometry import meshio, meshproc, uvatlas
 
         os.makedirs(save_dir, exist_ok=True)
         if save_voxel:
+            from ..ops import sparse_grid as _sg
+            vox = (_sg.occupancy_host(sparse) if sparse is not None
+                   else sdf_grid < 0)
             np.savez_compressed(os.path.join(save_dir, "voxel.npz"),
-                                vox_grid=sdf_grid < 0)
+                                vox_grid=vox)
             t0 = tick("voxel.npz", t0)
 
-        v, f = meshproc.sdfgrid_to_mesh(sdf_grid,
-                                        only_largest_cc=only_largest_cc)
+        if sparse is not None:
+            v, f = meshproc.sdfgrid_to_mesh_sparse(
+                sparse, quant, only_largest_cc=only_largest_cc)
+        else:
+            v, f = meshproc.sdfgrid_to_mesh(
+                sdf_grid, only_largest_cc=only_largest_cc)
         t0 = tick(f"marching cubes ({len(f)} tris)", t0)
         if len(f) == 0:
             # no zero crossing (e.g. an undertrained model) — emit an empty

@@ -98,6 +98,71 @@ def test_negative_boundary_voxels_covered():
     np.testing.assert_array_equal(f1, f2)
 
 
+def _encode_np(q, capacity=None):
+    enc = jax.jit(lambda x: tuple(sg.encode(x, capacity=capacity))[:4])
+    signs, ids, vals, count = enc(jnp.asarray(q))
+    P = tuple(-(-s // sg.BLOCK) * sg.BLOCK for s in q.shape)
+    return sg.SparseGrid(signs, ids, vals, count, q.shape, P)
+
+
+@pytest.mark.parametrize("shape", [(60, 52, 44), (40, 36, 36), (17, 23, 9)])
+def test_sparse_mc_bit_identical(shape):
+    """Wire-direct marching cubes (geo_marching_cubes_sparse) produces
+    bit-identical verts/tris — including order — to the dense decode +
+    pad + MC path, so every downstream stage is path-invariant."""
+    from sin3dm_tpu.geometry import meshproc
+
+    q, thr = _sphere_q(shape)
+    spg = _encode_np(q, capacity=int(np.prod(
+        [(-(-s // sg.BLOCK)) for s in shape])))
+    assert int(spg.count) <= spg.block_ids.shape[0]
+
+    v1, f1 = meshproc.sdfgrid_to_mesh(sg.decode_host(spg, thr))
+    v2, f2 = meshproc.sdfgrid_to_mesh_sparse(spg, thr)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_sparse_mc_boundary_clipped_shape():
+    """Sphere clipped by the volume boundary: border crossings against
+    the virtual +1.0 pad layer must come out identical too."""
+    from sin3dm_tpu.geometry import meshproc
+
+    q, thr = _sphere_q((24, 24, 24), radius=1.4)
+    assert (q[0] < 0).any()
+    spg = _encode_np(q, capacity=216)
+    v1, f1 = meshproc.sdfgrid_to_mesh(sg.decode_host(spg, thr))
+    v2, f2 = meshproc.sdfgrid_to_mesh_sparse(spg, thr)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_sparse_mc_empty_and_overflow():
+    from sin3dm_tpu.geometry import meshproc
+
+    # all-positive grid: no surface, no flagged blocks
+    q = np.full((16, 16, 16), 100, np.int8)
+    spg = _encode_np(q)
+    v, f = meshproc.sdfgrid_to_mesh_sparse(spg, 0.05)
+    assert len(f) == 0
+
+    # overflowed budget: the wrapper must refuse (reconstruction is
+    # impossible), not read out of bounds
+    rng = np.random.default_rng(0)
+    q = rng.integers(-128, 128, (32, 32, 32)).astype(np.int8)
+    spg = _encode_np(q)
+    assert int(spg.count) > spg.block_ids.shape[0]
+    with pytest.raises(ValueError, match="overflow"):
+        meshproc.sdfgrid_to_mesh_sparse(spg, 0.05)
+
+
+def test_occupancy_host_matches_dense():
+    q, thr = _sphere_q((30, 26, 22))
+    spg = _encode_np(q, capacity=512)
+    np.testing.assert_array_equal(sg.occupancy_host(spg),
+                                  _dense_deq(q, thr) < 0)
+
+
 def test_overflow_signals_fallback():
     """Random-sign noise floods the block budget: count must exceed
     capacity so the caller takes the dense fallback."""
