@@ -92,7 +92,9 @@ def mesh_decimation(v: np.ndarray, f: np.ndarray,
 
     The +4% distance at mult 4 is ~0.03 voxels at 256^3 and only touches
     the exported mesh — the LP/voxel metrics read voxel.npz (the dense
-    SDF grid), which decimation never sees."""
+    SDF grid), which decimation never sees.  (Absolute times above
+    predate the deduped-push + 4-ary-heap quadric stage, which cut the
+    collapse loop ~45%: 0.39 -> 0.21 s on a 276k-tri extract.)"""
     if len(f) <= face_count:
         return np.asarray(v, np.float64), np.asarray(f, np.int64)
     return native.decimate(v, f, face_count, prepass_mult=4)
