@@ -196,9 +196,11 @@ def test_uvatlas_no_overlap_and_coverage():
 
 
 def test_uvatlas_texel_utilization():
-    """Packing quality floor: oriented-rect charts + FFDH shelves reach
-    >= 0.55 texel utilization on a decimated bumpy-sphere decode (r1's
-    axis-aligned shelf packing measured 0.47; xatlas typically 0.6-0.75)."""
+    """Packing quality floor: profile packing + adaptive chart splits
+    reach >= 0.65 texel utilization on a decimated bumpy-sphere decode
+    (r1 axis-aligned shelves: 0.47; r2 oriented rects: 0.58-0.60; xatlas
+    typically 0.6-0.75), and the splits may not balloon seam length —
+    the seam ratio must stay moderate."""
     from sin3dm_tpu.geometry import native, uvatlas
     n = 64
     xs = np.linspace(-1, 1, n, dtype=np.float32)
@@ -210,9 +212,15 @@ def test_uvatlas_texel_utilization():
     v, f = native.marching_cubes(sdf, 0.0)
     v2, f2 = native.decimate(v, f, 4000)
     uvs, tex_idx, gb_pos, mask = uvatlas.uv_unwrap_and_rasterize(v2, f2, 512)
-    assert mask.mean() >= 0.55, mask.mean()
+    assert mask.mean() >= 0.65, mask.mean()
     # uvs all inside the unit square
     assert uvs.min() >= 0 and uvs.max() <= 1
+    stats = uvatlas.seam_stats(v2, f2, tex_idx)
+    print(f"utilization {mask.mean():.4f} seam_ratio "
+          f"{stats['seam_ratio']:.4f}")
+    # 6-axis binning alone sits near ~0.25 on this shape; the adaptive
+    # splits may add a few cuts but must not run away
+    assert stats["seam_ratio"] < 0.40, stats
 
 
 def test_uvatlas_charts_rasterize_disjoint():
