@@ -208,6 +208,13 @@ def run(src: str, dst: str, reso: int = 256,
     if nmask.any():
         near_surf_tex[nmask] = mesh.query_tex(near_surf_pts[nmask])[..., :3]
 
+    # save-time cap EXACTLY as the reference does it
+    # (`data/mesh_sampler.py:212-216`): on-surface points random-
+    # downsample to 2M before saving, while the near-surface arrays —
+    # derived from ALL n_surf points above — ship uncapped (5M at the
+    # canonical --n_surf 5000000 of `scripts/run_single.sh:9`).  The AE
+    # additionally re-caps at load (`src/encoding/model.py:104-107` ==
+    # training/ae.py) for npz files produced without this cap.
     if on_surf_pts.shape[0] > 2_000_000:
         idx = rng.choice(on_surf_pts.shape[0], 2_000_000, replace=False)
         on_surf_pts, on_surf_tex = on_surf_pts[idx], on_surf_tex[idx]

@@ -180,17 +180,188 @@ def _torch_inception_stem(sd, x, dims: int):
     return x
 
 
+# Mixed-block conv specs: name -> (cin, cout, kh, kw).  Channel wiring
+# is torchvision inception_v3's (InceptionA/B/C/D/E).
+def _a_specs(cin, pf):
+    return {"branch1x1": (cin, 64, 1, 1), "branch5x5_1": (cin, 48, 1, 1),
+            "branch5x5_2": (48, 64, 5, 5),
+            "branch3x3dbl_1": (cin, 64, 1, 1),
+            "branch3x3dbl_2": (64, 96, 3, 3),
+            "branch3x3dbl_3": (96, 96, 3, 3),
+            "branch_pool": (cin, pf, 1, 1)}
+
+
+def _b_specs(cin):
+    return {"branch3x3": (cin, 384, 3, 3),
+            "branch3x3dbl_1": (cin, 64, 1, 1),
+            "branch3x3dbl_2": (64, 96, 3, 3),
+            "branch3x3dbl_3": (96, 96, 3, 3)}
+
+
+def _c_specs(cin, c7):
+    return {"branch1x1": (cin, 192, 1, 1),
+            "branch7x7_1": (cin, c7, 1, 1), "branch7x7_2": (c7, c7, 1, 7),
+            "branch7x7_3": (c7, 192, 7, 1),
+            "branch7x7dbl_1": (cin, c7, 1, 1),
+            "branch7x7dbl_2": (c7, c7, 7, 1),
+            "branch7x7dbl_3": (c7, c7, 1, 7),
+            "branch7x7dbl_4": (c7, c7, 7, 1),
+            "branch7x7dbl_5": (c7, 192, 1, 7),
+            "branch_pool": (cin, 192, 1, 1)}
+
+
+def _d_specs(cin):
+    return {"branch3x3_1": (cin, 192, 1, 1), "branch3x3_2": (192, 320, 3, 3),
+            "branch7x7x3_1": (cin, 192, 1, 1),
+            "branch7x7x3_2": (192, 192, 1, 7),
+            "branch7x7x3_3": (192, 192, 7, 1),
+            "branch7x7x3_4": (192, 192, 3, 3)}
+
+
+def _e_specs(cin):
+    return {"branch1x1": (cin, 320, 1, 1), "branch3x3_1": (cin, 384, 1, 1),
+            "branch3x3_2a": (384, 384, 1, 3),
+            "branch3x3_2b": (384, 384, 3, 1),
+            "branch3x3dbl_1": (cin, 448, 1, 1),
+            "branch3x3dbl_2": (448, 384, 3, 3),
+            "branch3x3dbl_3a": (384, 384, 1, 3),
+            "branch3x3dbl_3b": (384, 384, 3, 1),
+            "branch_pool": (cin, 192, 1, 1)}
+
+
+_MIXED_SPECS = {
+    "Mixed_5b": _a_specs(192, 32), "Mixed_5c": _a_specs(256, 64),
+    "Mixed_5d": _a_specs(288, 64), "Mixed_6a": _b_specs(288),
+    "Mixed_6b": _c_specs(768, 128), "Mixed_6c": _c_specs(768, 160),
+    "Mixed_6d": _c_specs(768, 160), "Mixed_6e": _c_specs(768, 192),
+    "Mixed_7a": _d_specs(768), "Mixed_7b": _e_specs(1280),
+    "Mixed_7c": _e_specs(2048),
+}
+
+
+def synth_inception_full_state_dict(seed: int = 0):
+    """Stem + all mixed blocks, torchvision key format, randomized BN
+    running stats."""
+    import torch
+    sd = synth_inception_stem_state_dict(seed)
+    g = torch.Generator().manual_seed(seed + 1)
+    for layer, convs in _MIXED_SPECS.items():
+        for conv, (cin, cout, kh, kw) in convs.items():
+            pre = f"{layer}.{conv}"
+            sd[f"{pre}.conv.weight"] = 0.1 * torch.randn(
+                cout, cin, kh, kw, generator=g)
+            sd[f"{pre}.bn.weight"] = torch.rand(cout, generator=g) + 0.5
+            sd[f"{pre}.bn.bias"] = 0.1 * torch.randn(cout, generator=g)
+            sd[f"{pre}.bn.running_mean"] = 0.1 * torch.randn(cout,
+                                                             generator=g)
+            sd[f"{pre}.bn.running_var"] = torch.rand(cout,
+                                                     generator=g) + 0.5
+    return sd
+
+
+def _tcb(sd, prefix, x, stride=1, padding=0):
+    """BasicConv2d in plain torch (bias-free conv + BN eps=1e-3 + relu)."""
+    import torch.nn.functional as F
+    x = F.conv2d(x, sd[f"{prefix}.conv.weight"], None, stride=stride,
+                 padding=padding)
+    x = F.batch_norm(x, sd[f"{prefix}.bn.running_mean"],
+                     sd[f"{prefix}.bn.running_var"],
+                     sd[f"{prefix}.bn.weight"], sd[f"{prefix}.bn.bias"],
+                     training=False, eps=1e-3)
+    return F.relu(x)
+
+
+def _torch_inception_mixed(sd, x, dims: int):
+    """Reference block2/block3 forward (`inception.py:81-105`) in plain
+    torch functional — torchvision InceptionA/B/C/D/E semantics."""
+    import torch
+    import torch.nn.functional as F
+
+    def mixed_a(n, x):
+        b1 = _tcb(sd, f"{n}.branch1x1", x)
+        b5 = _tcb(sd, f"{n}.branch5x5_2",
+                  _tcb(sd, f"{n}.branch5x5_1", x), padding=2)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_1", x)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_2", bd, padding=1)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_3", bd, padding=1)
+        bp = _tcb(sd, f"{n}.branch_pool",
+                  F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+    def mixed_b(n, x):
+        b3 = _tcb(sd, f"{n}.branch3x3", x, stride=2)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_1", x)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_2", bd, padding=1)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_3", bd, stride=2)
+        return torch.cat([b3, bd, F.max_pool2d(x, 3, stride=2)], 1)
+
+    def mixed_c(n, x):
+        b1 = _tcb(sd, f"{n}.branch1x1", x)
+        b7 = _tcb(sd, f"{n}.branch7x7_1", x)
+        b7 = _tcb(sd, f"{n}.branch7x7_2", b7, padding=(0, 3))
+        b7 = _tcb(sd, f"{n}.branch7x7_3", b7, padding=(3, 0))
+        bd = _tcb(sd, f"{n}.branch7x7dbl_1", x)
+        bd = _tcb(sd, f"{n}.branch7x7dbl_2", bd, padding=(3, 0))
+        bd = _tcb(sd, f"{n}.branch7x7dbl_3", bd, padding=(0, 3))
+        bd = _tcb(sd, f"{n}.branch7x7dbl_4", bd, padding=(3, 0))
+        bd = _tcb(sd, f"{n}.branch7x7dbl_5", bd, padding=(0, 3))
+        bp = _tcb(sd, f"{n}.branch_pool",
+                  F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+    def mixed_d(n, x):
+        b3 = _tcb(sd, f"{n}.branch3x3_2",
+                  _tcb(sd, f"{n}.branch3x3_1", x), stride=2)
+        b7 = _tcb(sd, f"{n}.branch7x7x3_1", x)
+        b7 = _tcb(sd, f"{n}.branch7x7x3_2", b7, padding=(0, 3))
+        b7 = _tcb(sd, f"{n}.branch7x7x3_3", b7, padding=(3, 0))
+        b7 = _tcb(sd, f"{n}.branch7x7x3_4", b7, stride=2)
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+    def mixed_e(n, x):
+        b1 = _tcb(sd, f"{n}.branch1x1", x)
+        b3 = _tcb(sd, f"{n}.branch3x3_1", x)
+        b3 = torch.cat([
+            _tcb(sd, f"{n}.branch3x3_2a", b3, padding=(0, 1)),
+            _tcb(sd, f"{n}.branch3x3_2b", b3, padding=(1, 0))], 1)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_1", x)
+        bd = _tcb(sd, f"{n}.branch3x3dbl_2", bd, padding=1)
+        bd = torch.cat([
+            _tcb(sd, f"{n}.branch3x3dbl_3a", bd, padding=(0, 1)),
+            _tcb(sd, f"{n}.branch3x3dbl_3b", bd, padding=(1, 0))], 1)
+        bp = _tcb(sd, f"{n}.branch_pool",
+                  F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+    x = _torch_inception_stem(sd, x, 192)
+    x = F.max_pool2d(x, 3, stride=2)
+    for n in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        x = mixed_a(n, x)
+    x = mixed_b("Mixed_6a", x)
+    for n in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        x = mixed_c(n, x)
+    if dims == 768:
+        return x
+    x = mixed_d("Mixed_7a", x)
+    x = mixed_e("Mixed_7b", x)
+    x = mixed_e("Mixed_7c", x)
+    return x
+
+
 def sifid_parity(weights_path: Optional[str] = None, image_size: int = 96,
-                 seed: int = 0) -> Dict[str, float]:
-    """Stem parity at dims 64 and 192 vs the torch computation of the
-    reference InceptionV3 wrapper (`inception.py:60-78`)."""
+                 seed: int = 0, deep: bool = True) -> Dict[str, float]:
+    """Feature parity at dims 64/192 (stem) and, with deep=True, 768 and
+    2048 (mixed blocks) vs the torch computation of the reference
+    InceptionV3 wrapper (`inception.py:60-105`)."""
     import torch
     from . import sifid as jsifid
 
     if weights_path and os.path.exists(weights_path):
-        full = torch.load(weights_path, map_location="cpu")
-        sd = {k: v for k, v in full.items()
-              if any(k.startswith(n + ".") for n, *_ in _INCEPTION_STEM)}
+        sd = torch.load(weights_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    elif deep:
+        sd = synth_inception_full_state_dict(seed)
     else:
         sd = synth_inception_stem_state_dict(seed)
 
@@ -204,15 +375,24 @@ def sifid_parity(weights_path: Optional[str] = None, image_size: int = 96,
 
     import jax.numpy as jnp
     errs = {}
-    for dims in (64, 192):
+    have_mixed = "Mixed_5b.branch1x1.conv.weight" in sd
+    dims_list = (64, 192, 768, 2048) if (deep and have_mixed) else (64, 192)
+    for dims in dims_list:
         with torch.no_grad():
-            t_f = _torch_inception_stem(
-                sd, torch.from_numpy(img.transpose(2, 0, 1))[None],
-                dims).numpy()[0]
+            tx = torch.from_numpy(img.transpose(2, 0, 1))[None]
+            if dims in (64, 192):
+                t_f = _torch_inception_stem(sd, tx, dims).numpy()[0]
+            else:
+                t_f = _torch_inception_mixed(sd, tx, dims).numpy()[0]
         j_f = np.asarray(jsifid.stem_features(
             jparams, jnp.asarray(img)[None], dims))[0].transpose(2, 0, 1)
-        errs[f"act_max_abs_err_dim{dims}"] = float(
-            np.max(np.abs(t_f - j_f)))
+        err = float(np.max(np.abs(t_f - j_f)))
+        errs[f"act_max_abs_err_dim{dims}"] = err
+        # random synth weights blow activations up exponentially with
+        # depth (1e9+ after 9 mixed blocks) — the scale-normalized error
+        # is the meaningful parity figure there
+        errs[f"act_rel_err_dim{dims}"] = err / max(
+            float(np.max(np.abs(t_f))), 1e-30)
     return errs
 
 

@@ -25,9 +25,36 @@ def test_ssfid_layer1_and_layer3_parity():
 
 
 def test_sifid_stem_parity_both_dims():
-    res = parity.sifid_parity(image_size=96)
+    res = parity.sifid_parity(image_size=96, deep=False)
     assert res["act_max_abs_err_dim64"] < 1e-4, res
     assert res["act_max_abs_err_dim192"] < 1e-4, res
+
+
+def test_sifid_mixed_blocks_parity():
+    """Full InceptionV3 tower (Mixed_5b..7c): dims 768 and 2048 match
+    the reference wrapper's block2/block3 (`inception.py:81-105`).
+    Random synth weights blow activation SCALE up exponentially with
+    depth, so parity is asserted on the scale-normalized error."""
+    res = parity.sifid_parity(image_size=128, deep=True)
+    assert res["act_rel_err_dim768"] < 1e-4, res
+    assert res["act_rel_err_dim2048"] < 1e-4, res
+
+
+def test_sifid_mixed_loader_shapes():
+    import os
+    import tempfile
+
+    from sin3dm_tpu.evaluation import sifid as jsifid
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "incfull.pth")
+        torch.save(parity.synth_inception_full_state_dict(), p)
+        params = jsifid.load_torch_weights(p)
+        assert params["Mixed_5b"]["branch5x5_2"]["w"].shape == (5, 5, 48, 64)
+        assert params["Mixed_6b"]["branch7x7_2"]["w"].shape == (1, 7, 128,
+                                                                128)
+        assert params["Mixed_7c"]["branch3x3dbl_2"]["w"].shape == (3, 3,
+                                                                   448, 384)
 
 
 def test_lpips_full_scalar_parity():
