@@ -61,6 +61,10 @@ def _build_sampler(args):
             import jax.numpy as _jnp
             ucfg = ucfg._replace(compute_dtype=_jnp.bfloat16,
                                  fast_norm=True)
+            # visible opt-out pointer for users comparing numerics
+            # against reference fp32 chains (ADVICE r2)
+            print("sampling in bfloat16 + fast_norm (TPU default; set "
+                  "SIN3DM_SAMPLE_DTYPE=train for the args.json dtype)")
     params = init_unet(jax.random.PRNGKey(0), ucfg)
     model_path = cfgmod.diffusion_model_path(args.tag, args.ema_rate,
                                              args.diff_n_iters)
@@ -71,9 +75,18 @@ def _build_sampler(args):
     tables = {k: jnp.asarray(v) for k, v in sched.tables_f32().items()}
     dcfg = cfgmod.diffusion_config_from_args(args)
 
+    mesh = None
+    n_dev = int(getattr(args, "sample_devices", 1))
+    if n_dev == 0 or n_dev > 1:
+        # sample-time DP: the reverse chain shards over the mesh 'data'
+        # axis (each chip denoises its slice of the batch independently);
+        # per-sample keys keep outputs chunking- and mesh-invariant
+        from ..parallel import mesh as meshlib
+        mesh = meshlib.make_mesh(n_dev if n_dev else None)
+        print(f"sampling over {mesh.devices.size} devices (DP)")
     sampler = make_jit_sampler(
         lambda x, t: unet_apply(params, ucfg, x, t), tables, dcfg,
-        use_ddim=args.use_ddim)
+        use_ddim=args.use_ddim, mesh=mesh)
     return sampler, C, (H, W, D)
 
 

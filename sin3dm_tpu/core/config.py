@@ -150,6 +150,10 @@ def add_sampling_options(parser) -> None:
                    help="samples per pipelined sample+decode chunk (mesh "
                         "path); chain cost is linear in batch so small "
                         "chunks overlap best")
+    g.add_argument("--sample_devices", type=int, default=1,
+                   help="data-parallel devices for the reverse chain "
+                        "(0 = all available, 1 = single device); the "
+                        "batch shards over the mesh 'data' axis")
 
 
 # ---------------------------------------------------------------------------

@@ -365,7 +365,18 @@ def training_losses(model: ModelFn, tables, cfg: DiffusionConfig,
 def _tri_mean_flat(t: Triplane) -> jax.Array:
     """Per-example mean over all three planes' non-batch dims (the
     triplane analog of mean_flat over the composed map, excluding the dead
-    zero block)."""
+    zero block).
+
+    DELIBERATE deviation from the reference's weighting
+    (`gaussian_diffusion.py` mean_flat): the reference averages over the
+    composed 2D map INCLUDING its dead DxD zero block, so for non-cubic
+    shapes its per-element losses are scaled by triplane_size /
+    composed_size (~0.8 for towerruins) relative to ours — i.e. our
+    mse/vb terms run ~20-25% larger on such shapes, a pure constant
+    rescaling of the loss (absorbed by Adam's per-parameter
+    normalization for mse; a mild reweighting of vb vs mse under
+    LEARNED_RANGE).  Normalizing by real elements is the principled
+    choice; the committed checkpoints were trained with it."""
     def mf_sum(a):
         return jnp.sum(a, axis=tuple(range(1, a.ndim)))
     total = mf_sum(t.xy) + mf_sum(t.xz) + mf_sum(t.yz)
