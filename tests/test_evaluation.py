@@ -98,7 +98,12 @@ def test_sifid_stem_shapes():
     assert f64.shape[-1] == 64
     f192 = sifid.stem_features(params, img, 192)
     assert f192.shape[-1] == 192
-    with pytest.raises(NotImplementedError):
+    # unsupported dim rejected up front; deep dims (768/2048) need the
+    # Mixed_* weights (stem-only params raise KeyError there) — full
+    # coverage lives in tests/test_eval_parity.py
+    with pytest.raises(ValueError):
+        sifid.stem_features(params, img, 100)
+    with pytest.raises(KeyError):
         sifid.stem_features(params, img, 2048)
 
 
