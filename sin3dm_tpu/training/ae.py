@@ -360,10 +360,17 @@ def evaluate_tsdf_prediction(pred_sdf: np.ndarray, gt_sdf: np.ndarray,
     """Bucketed TSDF L1 / relative error / sign accuracy."""
     res: Dict[str, float] = {}
     l1 = np.abs(pred_sdf - gt_sdf)
-    rel = l1 / np.abs(gt_sdf)
+    # the reference divides by |gt| unguarded (`model.py:497`), which
+    # poisons every rel bucket with inf/nan when a sample's gt SDF is
+    # exactly 0 (on-surface grid point); exclude those rows from the rel
+    # means instead — identical values whenever no exact zero exists
+    denom = np.abs(gt_sdf)
+    nz = denom > 0
+    rel = np.divide(l1, denom, out=np.zeros_like(l1), where=nz)
     acc = (pred_sdf * gt_sdf >= 0).astype(np.float32)
     res["mean_tsdf_l1_error"] = float(l1.mean())
-    res["mean_tsdf_rel_error"] = float(rel.mean())
+    res["mean_tsdf_rel_error"] = (
+        float(rel[nz].mean()) if nz.any() else float("nan"))
     res["mean_tsdf_acc"] = float(acc.mean())
     n = 4
     unit = sdf_threshold / n
@@ -373,8 +380,9 @@ def evaluate_tsdf_prediction(pred_sdf: np.ndarray, gt_sdf: np.ndarray,
         suffix = f"{i}-{n}-{i + 1}-n"
         res[f"mean_tsdf_l1_error_{suffix}"] = (
             float(l1[m].mean()) if m.any() else float("nan"))
+        mr = m & nz
         res[f"mean_tsdf_rel_error_{suffix}"] = (
-            float(rel[m].mean()) if m.any() else float("nan"))
+            float(rel[mr].mean()) if mr.any() else float("nan"))
         res[f"mean_tsdf_acc_{suffix}"] = (
             float(acc[m].mean()) if m.any() else float("nan"))
         res[f"mean_tsdf_count_{suffix}"] = int(m.sum())

@@ -95,6 +95,24 @@ def test_masked_tex_loss_empty_mask_safe():
     assert float(loss) == 0.0
 
 
+def test_tsdf_eval_rel_error_zero_gt_safe():
+    # exact-zero gt SDF rows must not poison the rel-error means
+    # (the reference divides unguarded, `model.py:497`)
+    gt = np.array([0.0, 0.01, -0.02, 0.005], np.float32)
+    pred = np.array([0.003, 0.012, -0.019, 0.004], np.float32)
+    res = ae_train.evaluate_tsdf_prediction(pred, gt, sdf_threshold=0.0234)
+    assert np.isfinite(res["mean_tsdf_rel_error"])
+    for k, val in res.items():
+        if "rel" in k and k != "mean_tsdf_rel_error":
+            suffix = k[len("mean_tsdf_rel_error_"):]
+            if res[f"mean_tsdf_count_{suffix}"] > 0:
+                assert np.isfinite(val), (k, val)
+    # with no zeros present, values equal the unguarded division
+    res2 = ae_train.evaluate_tsdf_prediction(pred[1:], gt[1:], 0.0234)
+    exp = float(np.mean(np.abs(pred[1:] - gt[1:]) / np.abs(gt[1:])))
+    assert res2["mean_tsdf_rel_error"] == pytest.approx(exp, rel=1e-6)
+
+
 def _make_sphere_npz(path, n=32, reso_pts=24):
     """Synthetic sdftex dataset with the reference npz schema."""
     rng = np.random.default_rng(0)
