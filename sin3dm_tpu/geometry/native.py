@@ -83,6 +83,11 @@ def lib() -> ctypes.CDLL:
     L.geo_rasterize_uv.argtypes = [c_float_p, ctypes.c_int, c_int_p,
                                    c_float_p, c_int_p, ctypes.c_int,
                                    ctypes.c_int, c_float_p, c_ubyte_p]
+    L.geo_charts_by_axis.argtypes = [c_float_p, c_int_p, ctypes.c_int,
+                                     c_int_p, c_int_p]
+    L.geo_oriented_rect_angles.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
     _lib = L
     return L
 
@@ -282,3 +287,42 @@ def rasterize_uv(uvs: np.ndarray, tri_uv: np.ndarray, verts: np.ndarray,
         v.ctypes.data_as(c_float_p), tpv.ctypes.data_as(c_int_p), nt, res,
         pos.ctypes.data_as(c_float_p), mask.ctypes.data_as(c_ubyte_p))
     return pos, mask.astype(bool)
+
+
+def charts_by_axis(verts: np.ndarray, tris: np.ndarray):
+    """Normal-axis chart segmentation (uvatlas helper): per-face union-find
+    root (within 6-way normal bins over shared edges) and the bin id.
+    Same union order as the original Python implementation."""
+    v = _f32(verts).reshape(-1)
+    f = _i32(tris).reshape(-1)
+    nt = len(f) // 3
+    root = np.empty(nt, np.int32)
+    bins = np.empty(nt, np.int32)
+    lib().geo_charts_by_axis(
+        v.ctypes.data_as(c_float_p), f.ctypes.data_as(c_int_p), nt,
+        root.ctypes.data_as(c_int_p), bins.ctypes.data_as(c_int_p))
+    return root, bins
+
+
+def oriented_rect_angles(uv_list) -> np.ndarray:
+    """Batched minimal-area oriented-bounding-rect angles: one rotation
+    angle in [0, pi/2) per 2D point set (rotating calipers over the convex
+    hull; point sets of <= 8 use the raw point cycle like the Python
+    original)."""
+    n = len(uv_list)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, uv in enumerate(uv_list):
+        offsets[i + 1] = offsets[i] + len(uv)
+    cat = (np.concatenate([np.ascontiguousarray(u, np.float64).reshape(-1, 2)
+                           for u in uv_list], axis=0)
+           if offsets[-1] else np.zeros((0, 2)))
+    cat = np.ascontiguousarray(cat, np.float64)
+    out = np.empty(n, np.float64)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    ll_p = ctypes.POINTER(ctypes.c_longlong)
+    lib().geo_oriented_rect_angles(
+        cat.ctypes.data_as(dbl_p), offsets.ctypes.data_as(ll_p), n,
+        out.ctypes.data_as(dbl_p))
+    return out

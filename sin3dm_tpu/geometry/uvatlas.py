@@ -14,16 +14,9 @@ Returns (uvs [N,2], mesh_tex_idx [F,3]) like xatlas.parametrize.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Tuple
 
 import numpy as np
-
-
-def _face_normals(v: np.ndarray, f: np.ndarray) -> np.ndarray:
-    tri = v[f]
-    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
 _AXES = np.array([
@@ -51,36 +44,15 @@ _PROFILE_CACHE: dict = {}
 
 
 def _charts_by_axis(v: np.ndarray, f: np.ndarray) -> np.ndarray:
-    """Per-face chart id: connected components within each normal bin."""
-    fn = _face_normals(v, f)
-    bins = np.argmax(fn @ _AXES.T, axis=1)
-
-    # face adjacency via shared (sorted) edges
-    edge_to_faces = defaultdict(list)
-    for fi, tri in enumerate(f):
-        for k in range(3):
-            a, b = tri[k], tri[(k + 1) % 3]
-            edge_to_faces[(min(a, b), max(a, b))].append(fi)
-
-    parent = np.arange(len(f))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for faces in edge_to_faces.values():
-        for i in range(1, len(faces)):
-            a, b = faces[0], faces[i]
-            if bins[a] == bins[b]:
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[ra] = rb
-
-    roots = np.array([find(i) for i in range(len(f))])
+    """Per-face chart id: connected components within each normal bin
+    (native union-find — the Python edge map dominated decode time at
+    50k faces)."""
+    from . import native
+    if len(f) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    roots, bins = native.charts_by_axis(v, f)
     _, chart = np.unique(roots, return_inverse=True)
-    return chart, bins
+    return chart, bins.astype(np.int64)
 
 
 def seam_stats(v: np.ndarray, f: np.ndarray, tex_idx: np.ndarray) -> dict:
@@ -117,7 +89,11 @@ def seam_stats(v: np.ndarray, f: np.ndarray, tex_idx: np.ndarray) -> dict:
 def _oriented_rect_angle(uv: np.ndarray) -> float:
     """Rotation angle (radians) minimizing the chart's bounding-rect area
     (rotating calipers over the convex hull — each hull edge direction is
-    a candidate)."""
+    a candidate).
+
+    Reference implementation: production code calls the batched native
+    version (`native.oriented_rect_angles`); this stays as the parity
+    oracle for tests/test_geometry_native.py."""
     if len(uv) < 3:
         return 0.0
     if len(uv) <= 8:
@@ -149,20 +125,31 @@ def _pack_once(v: np.ndarray, f: np.ndarray, chart: np.ndarray,
     estimate that drives the split-and-repack loop in parametrize)."""
     n_charts = chart.max() + 1 if len(f) else 0
 
-    # project each chart; duplicate vertices per (chart, vertex)
-    chart_rects = []          # (w, h) of each chart in world units
-    chart_vert_uv = []        # list of dict vertex -> uv row
-    mat_area = 0.0
+    # project each chart; duplicate vertices per (chart, vertex).
+    # chart_vert_uv rows are (faces_c, vids, uv): vids is the SORTED unique
+    # vertex-id array of the chart, so local indices are
+    # np.searchsorted(vids, <vertex ids>).
+    order_f = np.argsort(chart, kind="stable")
+    bounds = np.searchsorted(chart[order_f], np.arange(n_charts + 1))
+    per_chart = []
     for c in range(n_charts):
-        faces_c = np.where(chart == c)[0]
+        faces_c = order_f[bounds[c]:bounds[c + 1]]
         bin_id = bins[faces_c[0]]
         u_ax = np.array(_PROJ[bin_id][0], np.float64)
         v_ax = np.array(_PROJ[bin_id][1], np.float64)
         vids = np.unique(f[faces_c].reshape(-1))
         uv = np.stack([v[vids] @ u_ax, v[vids] @ v_ax], axis=-1)
+        per_chart.append((faces_c, vids, uv))
+    from . import native
+    angles = native.oriented_rect_angles([p[2] for p in per_chart])
+
+    chart_rects = []          # (w, h) of each chart in world units
+    chart_vert_uv = []        # list of (faces_c, vids, uv)
+    mat_area = 0.0
+    for c, (faces_c, vids, uv) in enumerate(per_chart):
         # rotate to the minimal-area oriented bounding rect, then make the
         # rect wider than tall (90-deg rotation) for shelf packing
-        a = _oriented_rect_angle(uv)
+        a = angles[c]
         ca, sa = np.cos(a), np.sin(a)
         uv = uv @ np.array([[ca, -sa], [sa, ca]])
         uv -= uv.min(axis=0)
@@ -171,10 +158,8 @@ def _pack_once(v: np.ndarray, f: np.ndarray, chart: np.ndarray,
             uv = np.stack([uv[:, 1], w - uv[:, 0]], axis=-1)
             w, h = h, w
         chart_rects.append((max(w, 1e-9), max(h, 1e-9)))
-        mapping = {vid: i for i, vid in enumerate(vids)}
-        chart_vert_uv.append((faces_c, mapping, uv))
-        idx = np.array([[mapping[vid] for vid in f[fi]] for fi in faces_c])
-        p = uv[idx]
+        chart_vert_uv.append((faces_c, vids, uv))
+        p = uv[np.searchsorted(vids, f[faces_c])]
         e1 = p[:, 1] - p[:, 0]
         e2 = p[:, 2] - p[:, 0]
         mat_area += float(0.5 * np.abs(
@@ -350,11 +335,10 @@ def _pack_once(v: np.ndarray, f: np.ndarray, chart: np.ndarray,
             w, h = chart_rects[c]
             z2 = np.zeros(2)
             return {0: (z2, np.full(2, h), w, h)}, max(w, 1e-9) / 2
-        faces_c, mapping, uv = chart_vert_uv[c]
+        faces_c, vids, uv = chart_vert_uv[c]
         w, h = chart_rects[c]
         m = max(w, h)
-        t2 = np.array([[mapping[vid] for vid in f[fi]] for fi in faces_c],
-                      np.int32)
+        t2 = np.searchsorted(vids, f[faces_c]).astype(np.int32)
         uvn = uv / m
         uv3 = np.column_stack([uvn, np.zeros(len(uvn))]).astype(np.float32)
         _, mask = native.rasterize_uv(uvn.astype(np.float32), t2,
@@ -540,12 +524,12 @@ def _split_chart(f: np.ndarray, chart: np.ndarray, c: int,
     """Split chart `c` in two along its longer oriented axis at the
     median face centroid (in place on `chart`).  Returns False when the
     chart cannot be split (fewer than 2 faces or degenerate spread)."""
-    faces_c, mapping, uv = chart_vert_uv[c]
+    faces_c, vids, uv = chart_vert_uv[c]
     if len(faces_c) < 2:
         return False
     w, h = chart_rects[c]
     axis = 0 if w >= h else 1
-    idx = np.array([[mapping[vid] for vid in f[fi]] for fi in faces_c])
+    idx = np.searchsorted(vids, f[faces_c])
     cent = uv[idx][..., axis].mean(axis=1)
     cut = np.median(cent)
     upper = cent > cut
@@ -619,11 +603,11 @@ def parametrize(v: np.ndarray, f: np.ndarray, padding: float = 0.004,
 
 def _emit(f, scale, pos, rot, chart_rects, chart_vert_uv):
     tex_idx = np.zeros_like(f)
-    uvs_out = []
+    uv_parts = []
+    base = 0
     for c in range(len(chart_rects)):
-        faces_c, mapping, uv = chart_vert_uv[c]
+        faces_c, vids, uv = chart_vert_uv[c]
         ox, oy = pos[c]
-        base = len(uvs_out)
         r = int(rot.get(c, 0))
         w, h = chart_rects[c]
         # r = number of 90-deg rotations applied at placement: all pure
@@ -636,12 +620,13 @@ def _emit(f, scale, pos, rot, chart_rects, chart_vert_uv):
             uv_p = np.stack([h - uv[:, 1], uv[:, 0]], axis=-1)
         else:
             uv_p = uv
-        uvs_out.extend((uv_p * scale + np.array([ox, oy])).tolist())
-        for fi in faces_c:
-            for k in range(3):
-                tex_idx[fi, k] = base + mapping[f[fi, k]]
+        uv_parts.append(uv_p * scale + np.array([ox, oy]))
+        tex_idx[faces_c] = base + np.searchsorted(vids, f[faces_c])
+        base += len(vids)
 
-    return np.asarray(uvs_out, np.float64), tex_idx.astype(np.int64)
+    uvs_out = (np.concatenate(uv_parts, axis=0) if uv_parts
+               else np.zeros((0, 2)))
+    return uvs_out.astype(np.float64), tex_idx.astype(np.int64)
 
 
 def uv_unwrap_and_rasterize(v: np.ndarray, f: np.ndarray, resolution: int):

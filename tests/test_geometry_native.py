@@ -143,3 +143,81 @@ def test_rasterize_uv():
     r, c = 0, 31
     assert mask[r, c]
     np.testing.assert_allclose(pos[r, c, 0], 10 * (c) / 64, atol=0.3)
+
+
+def test_charts_by_axis_matches_python_unionfind():
+    """Native chart segmentation reproduces the original Python
+    edge-map/union-find exactly (same roots up to the np.unique
+    relabeling) on a bumpy-sphere MC mesh."""
+    from collections import defaultdict
+    from sin3dm_tpu.geometry import uvatlas
+
+    n = 32
+    xs = np.linspace(-1, 1, n, dtype=np.float32)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    r = np.linalg.norm(g, axis=-1)
+    bump = (0.1 * np.sin(5 * g[..., 0]) * np.sin(4 * g[..., 1])
+            * np.sin(6 * g[..., 2]))
+    sdf = (r - 0.7 + bump).astype(np.float32)
+    v, f = native.marching_cubes(sdf, 0.0)
+
+    # original Python implementation (the oracle)
+    tri = v[f]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                           1e-12)
+    bins_py = np.argmax(nrm @ uvatlas._AXES.T, axis=1)
+    edge_to_faces = defaultdict(list)
+    for fi, t in enumerate(f):
+        for k in range(3):
+            a, b = t[k], t[(k + 1) % 3]
+            edge_to_faces[(min(a, b), max(a, b))].append(fi)
+    parent = np.arange(len(f))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for faces in edge_to_faces.values():
+        for i in range(1, len(faces)):
+            a, b = faces[0], faces[i]
+            if bins_py[a] == bins_py[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    roots_py = np.array([find(i) for i in range(len(f))])
+
+    roots_nat, bins_nat = native.charts_by_axis(v, f)
+    np.testing.assert_array_equal(bins_nat, bins_py)
+    np.testing.assert_array_equal(roots_nat, roots_py)
+
+
+def test_oriented_rect_angles_matches_python():
+    """Native batched rotating calipers achieves the same minimal rect
+    area as the Python oracle on random point clouds (the chosen angle
+    may differ on exact ties; the areas must agree)."""
+    from sin3dm_tpu.geometry import uvatlas
+
+    rng = np.random.default_rng(0)
+    clouds = []
+    for n in [2, 3, 4, 8, 9, 20, 77, 200]:
+        clouds.append(rng.normal(size=(n, 2)) * rng.uniform(0.1, 3))
+    # degenerate: collinear + duplicated points
+    clouds.append(np.repeat(np.linspace(0, 1, 5)[:, None], 2, axis=1))
+    clouds.append(np.zeros((6, 2)))
+    angles = native.oriented_rect_angles(clouds)
+
+    def rect_area(uv, a):
+        c, s = np.cos(a), np.sin(a)
+        rot = uv @ np.array([[c, -s], [s, c]])
+        w, h = rot.max(axis=0) - rot.min(axis=0)
+        return w * h
+
+    for uv, a_nat in zip(clouds, angles):
+        a_py = uvatlas._oriented_rect_angle(uv)
+        assert 0 <= a_nat < np.pi / 2 + 1e-12
+        np.testing.assert_allclose(rect_area(uv, a_nat),
+                                   rect_area(uv, a_py), rtol=1e-9,
+                                   atol=1e-12)
