@@ -319,9 +319,10 @@ def main():
     min_passes = max(1, int(os.environ.get("SIN3DM_BENCH_PASSES", "3")))
     max_passes = max(min_passes,
                      int(os.environ.get("SIN3DM_BENCH_MAX_PASSES", "8")))
-    # quiet-host best is ~9s since the sparse grid wire + bf16 chains —
-    # keep hunting while the best pass is >25% above that
-    quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "11.5"))
+    # quiet-host best is ~7.1s since the native chart segmentation +
+    # analytic-span rasterizer — keep hunting while the best pass is
+    # >~15% above that
+    quiet_total = float(os.environ.get("SIN3DM_BENCH_QUIET_S", "8.2"))
     results = []
     p = 0
     t_phase = time.perf_counter()
