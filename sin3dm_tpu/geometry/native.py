@@ -88,6 +88,11 @@ def lib() -> ctypes.CDLL:
     L.geo_oriented_rect_angles.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_longlong),
         ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    L.geo_render_view.argtypes = [
+        c_double_p, c_double_p, c_double_p, ctypes.c_int, c_int_p, c_int_p,
+        ctypes.c_int, c_float_p, ctypes.c_int, c_double_p, c_int_p,
+        c_float_p, c_float_p]
     _lib = L
     return L
 
@@ -326,3 +331,32 @@ def oriented_rect_angles(uv_list) -> np.ndarray:
         cat.ctypes.data_as(dbl_p), offsets.ctypes.data_as(ll_p), n,
         out.ctypes.data_as(dbl_p))
     return out
+
+
+def render_view_raster(px: np.ndarray, py: np.ndarray, z: np.ndarray,
+                       faces: np.ndarray, order: np.ndarray,
+                       face_uvs: np.ndarray, res: int):
+    """Z-buffered perspective rasterization for the software multi-view
+    renderer (`rendering/softraster.py` semantics, operation-for-operation):
+    projected verts + paint order in, per-pixel (zbuf, face_id, u, v) maps
+    out (face_id = -1 where empty).  Texture gather + shading stay in
+    numpy — they vectorize over the face-id map."""
+    pxa = np.ascontiguousarray(px, np.float64)
+    pya = np.ascontiguousarray(py, np.float64)
+    za = np.ascontiguousarray(z, np.float64)
+    f = _i32(faces).reshape(-1)
+    o = _i32(order).reshape(-1)
+    uv = _f32(face_uvs).reshape(-1)
+    nt = len(f) // 3
+    zbuf = np.full((res, res), np.inf, np.float64)
+    face_id = np.full((res, res), -1, np.int32)
+    u = np.zeros((res, res), np.float32)
+    v = np.zeros((res, res), np.float32)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib().geo_render_view(
+        pxa.ctypes.data_as(dbl_p), pya.ctypes.data_as(dbl_p),
+        za.ctypes.data_as(dbl_p), len(pxa), f.ctypes.data_as(c_int_p),
+        o.ctypes.data_as(c_int_p), nt, uv.ctypes.data_as(c_float_p), res,
+        zbuf.ctypes.data_as(dbl_p), face_id.ctypes.data_as(c_int_p),
+        u.ctypes.data_as(c_float_p), v.ctypes.data_as(c_float_p))
+    return zbuf, face_id, u, v

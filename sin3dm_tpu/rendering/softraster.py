@@ -41,8 +41,15 @@ def _normalize_mesh(verts: np.ndarray) -> np.ndarray:
 
 def render_view(verts, faces, face_uvs, face_mat, materials, eye,
                 res: int = 512, focal_mm: float = 45.0,
-                light_dir=(0.3, 0.3, 0.9)) -> np.ndarray:
-    """-> RGBA uint8 [res, res, 4]."""
+                light_dir=(0.3, 0.3, 0.9), use_native: bool = True
+                ) -> np.ndarray:
+    """-> RGBA uint8 [res, res, 4].
+
+    `use_native=True` rasterizes through the C++ `geo_render_view` kernel
+    (per-pixel face-id/UV/depth maps; texture gather + shading stay
+    vectorized here) — same math as the numpy fallback below, which is
+    kept as the parity oracle (`tests/test_softraster.py`) and for
+    environments without the native lib."""
     R, t = _look_at(np.asarray(eye, np.float64), np.zeros(3))
     cam = verts @ R.T + t
     # perspective: 36mm sensor width -> f_pix = focal/36 * res
@@ -63,12 +70,45 @@ def render_view(verts, faces, face_uvs, face_mat, materials, eye,
     shade = (0.25 + 0.55 * np.abs(nrm @ ld) + 0.25 * np.abs(nrm @ view_dir))
     shade = np.clip(shade, 0.0, 1.0)
 
+    order = np.argsort(-z[faces].mean(axis=1))
+
+    if use_native:
+        try:
+            from ..geometry import native
+            zbuf, face_id, u_map, v_map = native.render_view_raster(
+                px, py, z, faces, order, np.asarray(face_uvs, np.float32),
+                res)
+        except Exception:
+            face_id = None
+        if face_id is not None:
+            color = np.zeros((res, res, 3), np.float64)
+            hit = face_id >= 0
+            fid = face_id[hit]
+            uu = np.mod(u_map[hit].astype(np.float64), 1.0)
+            vv = np.mod(v_map[hit].astype(np.float64), 1.0)
+            base = np.zeros((len(fid), 3), np.float64)
+            mats = np.asarray(face_mat)[fid]
+            for mi, mat in enumerate(materials):
+                sel = mats == mi
+                if not sel.any():
+                    continue
+                if mat.image is not None:
+                    H, W = mat.image.shape[:2]
+                    ix = np.clip((uu[sel] * W).astype(int), 0, W - 1)
+                    iy = np.clip(((1 - vv[sel]) * H).astype(int), 0, H - 1)
+                    base[sel] = mat.image[iy, ix, :3]
+                else:
+                    base[sel] = mat.Kd
+            color[hit] = base * shade[fid][:, None]
+            out = np.concatenate(
+                [color, hit.astype(np.float64)[..., None]], axis=-1)
+            return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+
     zbuf = np.full((res, res), np.inf, np.float64)
     color = np.zeros((res, res, 3), np.float64)
     alpha = np.zeros((res, res), np.float64)
 
-    order = np.argsort(
-        -z[faces].mean(axis=1))  # near-to-far not needed with zbuf; any order
+    # near-to-far not needed with zbuf; kept so native/numpy tie-break alike
     for fi in order:
         tri = faces[fi]
         if np.any(z[tri] <= 1e-6):
@@ -89,7 +129,7 @@ def render_view(verts, faces, face_uvs, face_mat, materials, eye,
         w1 = ((gx - xs[0]) * (ys[2] - ys[0])
               - (xs[2] - xs[0]) * (gy - ys[0])) / d
         w2 = ((xs[1] - xs[0]) * (gy - ys[0])
-              - (gx - xs[0]) * (ys[2] - ys[0])) / d
+              - (gx - xs[0]) * (ys[1] - ys[0])) / d
         w0 = 1.0 - w1 - w2
         cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
         if not cover.any():

@@ -124,6 +124,64 @@ def test_softraster_renders_sphere(tmp_path):
     assert 0.05 < cover < 0.6  # sphere visible, not the whole frame
 
 
+def test_softraster_native_matches_numpy():
+    """The C++ `geo_render_view` kernel and the numpy fallback are the
+    same math operation-for-operation — images must match exactly."""
+    from sin3dm_tpu.rendering import softraster as sr
+
+    class _Mat:
+        def __init__(self, image, Kd):
+            self.image = image
+            self.Kd = Kd
+
+    rng = np.random.default_rng(3)
+    mats = [_Mat(rng.random(size=(64, 64, 3)), np.array([1.0, 0, 0])),
+            _Mat(None, np.array([0.2, 0.5, 0.9]))]
+    verts = sr._normalize_mesh(rng.normal(size=(300, 3)))
+    faces = rng.integers(0, 300, size=(500, 3)).astype(np.int64)
+    face_uvs = rng.random(size=(500, 3, 2))
+    face_mat = rng.integers(0, 2, size=500).astype(np.int64)
+    eye = np.array([2.0, 1.0, 1.5])
+    a = sr.render_view(verts, faces, face_uvs, face_mat, mats, eye,
+                       res=160, use_native=True)
+    b = sr.render_view(verts, faces, face_uvs, face_mat, mats, eye,
+                       res=160, use_native=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_softraster_triangle_coverage_area():
+    """Rasterized coverage of one camera-facing triangle equals its
+    projected area (regression for a barycentric w2 term that used
+    ys[2]-ys[0] instead of ys[1]-ys[0], inflating/deforming coverage)."""
+    from sin3dm_tpu.rendering import softraster as sr
+
+    class _Mat:
+        def __init__(self):
+            self.image = None
+            self.Kd = np.array([1.0, 1.0, 1.0])
+
+    res = 256
+    eye = np.array([0.0, -3.0, 0.0])
+    # triangle in the y=0 plane, facing the camera
+    verts = np.array([[-0.5, 0.0, -0.4], [0.6, 0.0, -0.3],
+                      [0.0, 0.0, 0.55]])
+    faces = np.array([[0, 1, 2]], np.int64)
+    face_uvs = np.zeros((1, 3, 2))
+    img = sr.render_view(verts, faces, face_uvs, np.zeros(1, np.int64),
+                         [_Mat()], eye, res=res)
+    covered = (img[..., 3] > 0).sum()
+    # replicate the module's projection for the analytic area
+    R, t = sr._look_at(eye, np.zeros(3))
+    cam = verts @ R.T + t
+    z = -cam[:, 2]
+    f_pix = 45.0 / 36.0 * res
+    px = cam[:, 0] / z * f_pix + res / 2
+    py = -cam[:, 1] / z * f_pix + res / 2
+    area = 0.5 * abs((px[1] - px[0]) * (py[2] - py[0])
+                     - (px[2] - px[0]) * (py[1] - py[0]))
+    assert abs(covered - area) < 0.02 * area + 2 * res
+
+
 def test_diffusion_resume(tmp_path):
     from sin3dm_tpu.core.triplane import randn
     from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
