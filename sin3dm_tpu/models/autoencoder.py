@@ -449,6 +449,26 @@ def decode_texels(params: Dict, cfg: AEConfig, tex_planes: Triplane,
     what the decode path is actually bound by, not FLOPs.
     """
     x = normalize_points(pts, aabb)
+    return _decode_texels_normalized(params, cfg, tex_planes, x,
+                                     fused_heads)
+
+
+def decode_texels_q16(params: Dict, cfg: AEConfig, tex_planes: Triplane,
+                      q: jax.Array, fused_heads: bool = False) -> jax.Array:
+    """`decode_texels` over uint16 AABB-relative coordinates
+    (q = round((p - lo) / (hi - lo) * 65535)) — halves the host->device
+    texel wire vs fp32 points, the remaining transfer bound of texture
+    baking on high-RTT links.  Quantization error is 1/65535 of the AABB
+    (~1/256 of a voxel at grid reso 256), far below the texture MLP's
+    spatial bandwidth; `SIN3DM_TEXEL_WIRE=f32` restores the exact path."""
+    x = q.astype(jnp.float32) * (2.0 / 65535.0) - 1.0
+    return _decode_texels_normalized(params, cfg, tex_planes, x,
+                                     fused_heads)
+
+
+def _decode_texels_normalized(params: Dict, cfg: AEConfig,
+                              tex_planes: Triplane, x: jax.Array,
+                              fused_heads: bool) -> jax.Array:
     tp = tex_planes.map(lambda a: a[0])
     h_tex = sample_triplane_features(tp, x)
     if cfg.posenc > 0:

@@ -918,16 +918,33 @@ class AETrainer:
     def _dispatch_texels(self, feat: Triplane, points: np.ndarray, aabb,
                          batch_size: int = 2 ** 20):
         """Dispatch the uint8 texel decode; returns (chunk device arrays,
-        N) without blocking on the results."""
+        N) without blocking on the results.
+
+        Positions ship as uint16 AABB-relative coordinates by default
+        (half the fp32 wire — the texel stage is host->device transfer
+        bound on high-RTT links; quantization error is 1/65535 of the
+        AABB).  `SIN3DM_TEXEL_WIRE=f32` restores the exact fp32 wire."""
         self._ensure_decode_jits()
-        aabb = jnp.asarray(np.asarray(aabb), jnp.float32)
-        fn = self._jit_grid_dense.get("texels")
+        aabb_np = np.asarray(aabb, np.float32).reshape(-1)
+        aabb = jnp.asarray(aabb_np)
+        q16 = os.environ.get("SIN3DM_TEXEL_WIRE", "u16") != "f32"
+        key = "texels_q16" if q16 else "texels"
+        fn = self._jit_grid_dense.get(key)
         if fn is None:
             fused = self._fused_heads()
-            fn = jax.jit(lambda p, tp, pts, ab: ae.decode_texels(
-                p, self.acfg, tp, pts, ab, fused_heads=fused))
-            self._jit_grid_dense["texels"] = fn
+            if q16:
+                fn = jax.jit(lambda p, tp, q: ae.decode_texels_q16(
+                    p, self.acfg, tp, q, fused_heads=fused))
+            else:
+                fn = jax.jit(lambda p, tp, pts, ab: ae.decode_texels(
+                    p, self.acfg, tp, pts, ab, fused_heads=fused))
+            self._jit_grid_dense[key] = fn
         points = np.asarray(points, np.float32)
+        if q16:
+            lo, span = aabb_np[:3], aabb_np[3:] - aabb_np[:3]
+            points = np.clip(
+                np.rint((points - lo) / span * 65535.0), 0.0,
+                65535.0).astype(np.uint16)
         N = points.shape[0]
         chunks = []
         with self._tpu_lock:
@@ -937,7 +954,10 @@ class AETrainer:
                 n = chunk.shape[0]
                 if n < batch_size:
                     chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
-                out = fn(self.params, tex_planes, jnp.asarray(chunk), aabb)
+                out = (fn(self.params, tex_planes, jnp.asarray(chunk))
+                       if q16 else
+                       fn(self.params, tex_planes, jnp.asarray(chunk),
+                          aabb))
                 try:
                     out.copy_to_host_async()
                 except Exception:

@@ -70,6 +70,32 @@ def test_decode_texels_matches_point_decode():
     assert np.mean(np.abs(got.astype(int) - ref_u8.astype(int)) > 1) == 0
 
 
+def test_decode_texels_q16_matches_f32_wire():
+    """The uint16 AABB-relative texel wire (half the fp32 upload —
+    `decode_texels_q16`) reproduces the fp32-wire colors: position
+    quantization is 1/65535 of the AABB, far below the texture MLP's
+    spatial bandwidth.  Allow a tiny fraction of 1-LSB color flips."""
+    cfg = ae.AEConfig(fdim_up=32, hidden_dim=64)
+    params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
+    aabb = np.array([-0.75, -1, -0.5, 0.75, 1, 0.5], np.float32)
+    vol = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 16, 8, 4))
+    feat = ae.encode(params, cfg, vol)
+    _, tex_planes = ae.process_planes(params, cfg, feat)
+    pts = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(2), (4097, 3), minval=-0.49, maxval=0.49),
+        np.float32) * np.array([1.5, 2.0, 1.0], np.float32)
+    ref = np.asarray(ae.decode_texels(params, cfg, tex_planes,
+                                      jnp.asarray(pts), jnp.asarray(aabb)))
+    lo, span = aabb[:3], aabb[3:] - aabb[:3]
+    q = np.clip(np.rint((pts - lo) / span * 65535.0), 0.0,
+                65535.0).astype(np.uint16)
+    got = np.asarray(ae.decode_texels_q16(params, cfg, tex_planes,
+                                          jnp.asarray(q)))
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
 def test_dense_grid_out_dtype_fp16():
     cfg = ae.AEConfig(data_type="sdf", fdim_up=32, hidden_dim=64)
     params = ae.init_autoencoder(jax.random.PRNGKey(0), cfg)
