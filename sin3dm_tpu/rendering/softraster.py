@@ -13,8 +13,14 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 
 import numpy as np
+
+# Set to the failure once the native rasterizer proves unusable, so a
+# broken .so is reported ONCE and never rebuilt/retried per view (a silent
+# fall-through to the numpy path is a 10-100x slowdown).
+_NATIVE_FAILED: Exception | None = None
 
 
 def _look_at(eye: np.ndarray, target: np.ndarray, up=(0, 0, 1)):
@@ -71,14 +77,22 @@ def render_view(verts, faces, face_uvs, face_mat, materials, eye,
     shade = np.clip(shade, 0.0, 1.0)
 
     order = np.argsort(-z[faces].mean(axis=1))
+    # both paths read UVs at float32 precision (the native kernel takes
+    # float32 in and writes float32 u/v), so parity is structural
+    face_uvs = np.asarray(face_uvs, np.float32)
 
-    if use_native:
+    global _NATIVE_FAILED
+    if use_native and _NATIVE_FAILED is None:
         try:
             from ..geometry import native
             zbuf, face_id, u_map, v_map = native.render_view_raster(
-                px, py, z, faces, order, np.asarray(face_uvs, np.float32),
-                res)
-        except Exception:
+                px, py, z, faces, order, face_uvs, res)
+        except Exception as e:  # cache: don't re-run `make` per view
+            _NATIVE_FAILED = e
+            warnings.warn(
+                f"native rasterizer unavailable ({e!r}); falling back to "
+                "the ~10-100x slower numpy path for all renders",
+                RuntimeWarning)
             face_id = None
         if face_id is not None:
             color = np.zeros((res, res, 3), np.float64)
@@ -134,16 +148,20 @@ def render_view(verts, faces, face_uvs, face_mat, materials, eye,
         cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
         if not cover.any():
             continue
-        # perspective-correct depth + uv
-        invz = w0 / z[tri[0]] + w1 / z[tri[1]] + w2 / z[tri[2]]
-        depth = 1.0 / np.maximum(invz, 1e-12)
+        # perspective-correct depth + uv — SAME op order as the native
+        # kernel (q_i = w_i * (1/z_i), then sum) so parity is bit-exact
+        q0 = w0 * (1.0 / z[tri[0]])
+        q1 = w1 * (1.0 / z[tri[1]])
+        q2 = w2 * (1.0 / z[tri[2]])
+        depth = 1.0 / np.maximum(q0 + q1 + q2, 1e-12)
         closer = cover & (depth < zbuf[gy, gx])
         if not closer.any():
             continue
-        uv = (face_uvs[fi][0][None, None] * (w0 / z[tri[0]])[..., None]
-              + face_uvs[fi][1][None, None] * (w1 / z[tri[1]])[..., None]
-              + face_uvs[fi][2][None, None] * (w2 / z[tri[2]])[..., None])
-        uv = uv * depth[..., None]
+        uv = (face_uvs[fi][0].astype(np.float64)[None, None] * q0[..., None]
+              + face_uvs[fi][1].astype(np.float64)[None, None] * q1[..., None]
+              + face_uvs[fi][2].astype(np.float64)[None, None] * q2[..., None])
+        # the native kernel stores u/v as float32; round here too
+        uv = (uv * depth[..., None]).astype(np.float32).astype(np.float64)
         mat = materials[face_mat[fi]]
         if mat.image is not None:
             H, W = mat.image.shape[:2]

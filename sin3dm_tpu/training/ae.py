@@ -46,6 +46,10 @@ class AETrainerConfig:
     # fuse K iterations per dispatch (lax.scan) — amortizes host launch
     # latency; the dataset is device-resident so nothing needs the host
     steps_per_call: int = 1
+    # texture-bake point wire format: "u16" (AABB-relative uint16, half
+    # the host->device upload; <=1-LSB texel flips vs fp32) or "f32"
+    # (bit-exact).  SIN3DM_TEXEL_WIRE env var overrides when set.
+    texel_wire: str = "u16"
 
 
 class AEData(NamedTuple):
@@ -67,14 +71,11 @@ SHUFFLE_SEED = 12345
 
 
 def host_shuffle_permutations(n_grid: int, n_near: int):
-    """THE single source of the host-side point-table shuffle.
-
-    `load_ae_data` applies (grid_perm, near_perm) to the point tables;
-    `AETrainer.evaluate` re-derives grid_perm to align its dense
-    grid-ordered predictions with the shuffled ground truth.  Both sides
-    MUST call this function — the grid permutation is drawn first from
-    the seeded RNG, and changing the draw order silently breaks the
-    evaluate alignment."""
+    """The host-side point-table shuffle.  Called ONLY by `load_ae_data`,
+    which applies (grid_perm, near_perm) to the point tables and hands
+    grid_perm back to the trainer so `AETrainer.evaluate` can align its
+    dense grid-ordered predictions with the shuffled ground truth without
+    re-deriving RNG state."""
     rng = np.random.default_rng(SHUFFLE_SEED)
     return rng.permutation(n_grid), rng.permutation(n_near)
 
@@ -89,7 +90,11 @@ def compute_featmap_size(grid_shape, fm_reso: int) -> Tuple[int, int, int]:
 
 def load_ae_data(npz_path: str, cfg: AETrainerConfig,
                  data_type: str = "sdftex"):
-    """Load the sampler npz; returns (AEData, meta dict).
+    """Load the sampler npz; returns (AEData, meta dict, grid_perm).
+
+    `grid_perm` (np.ndarray) is the permutation applied to the dense-grid
+    point tables; `AETrainer.evaluate` uses it to reorder grid-ordered
+    dense predictions to match the shuffled targets.
 
     Mirrors `_load_data` (`model.py:51-112`): clamp SDFs to the stored
     threshold, trilinear-resize the dense grid to 2x the featmap size,
@@ -139,9 +144,8 @@ def load_ae_data(npz_path: str, cfg: AETrainerConfig,
     # shuffle the point tables ONCE on the host: the train step then draws
     # batches as contiguous random-offset slices (lax.dynamic_slice)
     # instead of 65k-row gathers — XLA lowers large-table gathers on TPU
-    # to serial loops (~100x slower than the slice).  The permutations
-    # come from host_shuffle_permutations — the ONE derivation shared with
-    # AETrainer.evaluate, which must align dense (grid-ordered)
+    # to serial loops (~100x slower than the slice).  grid_perm is returned
+    # to the caller so evaluate() can align dense (grid-ordered)
     # predictions with these shuffled targets.
     grid_perm, near_perm = host_shuffle_permutations(
         sdf_grid_flat.shape[0], pts_near.shape[0])
@@ -175,7 +179,7 @@ def load_ae_data(npz_path: str, cfg: AETrainerConfig,
         tex_grid=tex_g, tex_near_surf=tex_n,
         pts_on_surf=pts_s, tex_on_surf=tex_s,
         aabb=jnp.asarray(aabb))
-    return ae_data, meta
+    return ae_data, meta, grid_perm
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +406,7 @@ class AETrainer:
         self.mesh = mesh
         self.params: Optional[Dict] = None
         self.data: Optional[AEData] = None
+        self.grid_perm: Optional[np.ndarray] = None
         self.meta: Dict = {}
         self._jit_process = None
         self._jit_decode = None
@@ -479,8 +484,8 @@ class AETrainer:
         return np.concatenate(outs, axis=0)
 
     def load_data(self, npz_path: str):
-        self.data, self.meta = load_ae_data(npz_path, self.tcfg,
-                                            self.acfg.data_type)
+        self.data, self.meta, self.grid_perm = load_ae_data(
+            npz_path, self.tcfg, self.acfg.data_type)
 
     def train(self, key: jax.Array, n_iters: Optional[int] = None,
               log_every: int = 100, eval_every: Optional[int] = None,
@@ -923,11 +928,13 @@ class AETrainer:
         Positions ship as uint16 AABB-relative coordinates by default
         (half the fp32 wire — the texel stage is host->device transfer
         bound on high-RTT links; quantization error is 1/65535 of the
-        AABB).  `SIN3DM_TEXEL_WIRE=f32` restores the exact fp32 wire."""
+        AABB).  Config field `AETrainerConfig.texel_wire="f32"` or env
+        `SIN3DM_TEXEL_WIRE=f32` restores the exact fp32 wire."""
         self._ensure_decode_jits()
         aabb_np = np.asarray(aabb, np.float32).reshape(-1)
         aabb = jnp.asarray(aabb_np)
-        q16 = os.environ.get("SIN3DM_TEXEL_WIRE", "u16") != "f32"
+        wire = os.environ.get("SIN3DM_TEXEL_WIRE", self.tcfg.texel_wire)
+        q16 = wire != "f32"
         key = "texels_q16" if q16 else "texels"
         fn = self._jit_grid_dense.get(key)
         if fn is None:
@@ -1121,10 +1128,11 @@ class AETrainer:
             pred = np.array(self._grid_dense_jit()(
                 self.params, self.acfg, gp, tp, tuple(grid_shape), 8,
                 True, self._fused_heads())).reshape(-1, 1)
-            # align with the shuffled ground-truth table: same derivation
-            # as load_ae_data (host_shuffle_permutations, grid drawn first)
-            perm, _ = host_shuffle_permutations(pred.shape[0], 0)
-            pred = pred[perm]
+            # align with the shuffled ground-truth table using the exact
+            # permutation load_ae_data applied to it
+            assert self.grid_perm is not None, \
+                "evaluate() needs load_data() (grid_perm not set)"
+            pred = pred[self.grid_perm]
         else:
             pred = self.decode_batch(feat,
                                      np.asarray(self.data.pts_grid))[:, :1]
