@@ -30,13 +30,18 @@ def main(argv=None):
                         help="reference data dir (contains *.npz + "
                              "renderings/)")
     parser.add_argument("-o", "--output", type=str, default=None)
+    # weight paths: flag > env var > conventional filename — the env vars
+    # let wrapper scripts (scripts/verify_metric_parity.sh) thread paths
+    # through without touching every intermediate CLI
+    env = os.environ.get
     parser.add_argument("--ssfid_weights", type=str,
-                        default="Clsshapenet_128.pth")
+                        default=env("SSFID_WEIGHTS", "Clsshapenet_128.pth"))
     parser.add_argument("--inception_weights", type=str,
-                        default="inception_v3.pth")
-    parser.add_argument("--alexnet_weights", type=str, default="alexnet.pth")
+                        default=env("INCEPTION_WEIGHTS", "inception_v3.pth"))
+    parser.add_argument("--alexnet_weights", type=str,
+                        default=env("ALEXNET_WEIGHTS", "alexnet.pth"))
     parser.add_argument("--lpips_weights", type=str,
-                        default="lpips_weights.ckpt")
+                        default=env("LPIPS_WEIGHTS", "lpips_weights.ckpt"))
     args = parser.parse_args(argv)
 
     from . import patch_metrics
@@ -53,9 +58,11 @@ def main(argv=None):
         ref_grid = patch_metrics.load_sdf_npz_as_voxel(ref_npz[0])
         gen_grids = [patch_metrics.load_voxel_npz(p) for p in gen_vox_paths]
 
-        lp_iou, lp_f = patch_metrics.eval_lp(gen_grids, ref_grid)
-        results["LP_IOU"] = lp_iou
-        results["LP_F_score"] = lp_f
+        lp = patch_metrics.eval_lp_full(gen_grids, ref_grid)
+        results.update(lp)  # reference key names (`patch_utils.py:163-166`)
+        # legacy aliases (avg variant) kept for earlier RESULTS entries
+        results["LP_IOU"] = lp["LP-IOU-avg"]
+        results["LP_F_score"] = lp["LP-F-score-avg"]
         results["Div"] = patch_metrics.eval_div(gen_grids)
 
         if os.path.exists(args.ssfid_weights):

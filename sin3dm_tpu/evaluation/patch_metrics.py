@@ -58,14 +58,21 @@ def load_sdf_npz_as_voxel(path: str, key: str = "sdf_grid") -> np.ndarray:
 
 
 def extract_patches(grid: np.ndarray) -> np.ndarray:
-    """[N_patches, 11^3] uint8 — only near-surface (mixed-center) patches."""
-    g = np.asarray(grid).astype(np.uint8)
+    """[N_patches, 11^3] uint8 — only near-surface (mixed-center) patches.
+
+    Matches `patch_utils.py:46-74` exactly: the volume is zero-PADDED by
+    patch//2 on every side before the stride-5 unfold (so the lattice
+    includes boundary patches hanging off the original volume), and the
+    center block is the 3^3 window at offset patch//2-1."""
+    pad = PATCH // 2
+    g = np.pad(np.asarray(grid).astype(np.uint8),
+               [(pad, pad)] * 3)
     X, Y, Z = g.shape
     xs = range(0, X - PATCH + 1, STRIDE)
     ys = range(0, Y - PATCH + 1, STRIDE)
     zs = range(0, Z - PATCH + 1, STRIDE)
     patches = []
-    c0 = (PATCH - CENTER) // 2
+    c0 = PATCH // 2 - 1
     for i in xs:
         for j in ys:
             for k in zs:
@@ -95,12 +102,15 @@ def _pairwise_max_scores(gen: jax.Array, ref: jax.Array
     return iou.max(axis=1), f1.max(axis=1)
 
 
-def lp_scores(gen_grid: np.ndarray, ref_patches: np.ndarray,
-              chunk: int = 4096) -> Tuple[float, float]:
-    """(LP-IoU, LP-F-score) of one generated grid vs reference patches."""
+LP_THRESHOLD = 0.95  # percent variant: fraction of patches scoring above
+
+
+def lp_score_arrays(gen_grid: np.ndarray, ref_patches: np.ndarray,
+                    chunk: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-gen-patch (max IoU, max F-score) arrays vs reference patches."""
     gp = extract_patches(gen_grid)
     if len(gp) == 0 or len(ref_patches) == 0:
-        return 0.0, 0.0
+        return np.zeros(0), np.zeros(0)
     ref = jnp.asarray(ref_patches, jnp.float32)
     ious, fs = [], []
     for i in range(0, len(gp), chunk):
@@ -108,12 +118,24 @@ def lp_scores(gen_grid: np.ndarray, ref_patches: np.ndarray,
         iou, f1 = _pairwise_max_scores(g, ref)
         ious.append(np.asarray(iou))
         fs.append(np.asarray(f1))
-    return float(np.concatenate(ious).mean()), float(np.concatenate(fs).mean())
+    return np.concatenate(ious), np.concatenate(fs)
+
+
+def lp_scores(gen_grid: np.ndarray, ref_patches: np.ndarray,
+              chunk: int = 4096) -> Tuple[float, float]:
+    """(LP-IoU, LP-F-score) of one generated grid vs reference patches
+    — the reference's "avg" variant (mean over gen patches of the max
+    score, `patch_utils.py:95,119`)."""
+    ious, fs = lp_score_arrays(gen_grid, ref_patches, chunk)
+    if len(ious) == 0:
+        return 0.0, 0.0
+    return float(ious.mean()), float(fs.mean())
 
 
 def eval_lp(gen_grids: Sequence[np.ndarray],
             ref_grid: np.ndarray) -> Tuple[float, float]:
-    """Mean LP-IoU / LP-F-score over generated grids (`patch_utils.py:125`)."""
+    """Mean LP-IoU / LP-F-score (avg variant) over generated grids
+    (`patch_utils.py:125`)."""
     ref_patches = extract_patches(ref_grid)
     ious, fs = [], []
     for g in gen_grids:
@@ -121,6 +143,29 @@ def eval_lp(gen_grids: Sequence[np.ndarray],
         ious.append(i)
         fs.append(f)
     return float(np.mean(ious)), float(np.mean(fs))
+
+
+def eval_lp_full(gen_grids: Sequence[np.ndarray], ref_grid: np.ndarray
+                 ) -> dict:
+    """All four reference LP metrics (`patch_utils.py:163-166`):
+    avg (mean of per-patch max score) and percent (fraction of patches
+    with score > 0.95) for both IoU and F-score."""
+    ref_patches = extract_patches(ref_grid)
+    iou_avg, iou_pct, f_avg, f_pct = [], [], [], []
+    for g in gen_grids:
+        ious, fs = lp_score_arrays(g, ref_patches)
+        if len(ious) == 0:
+            iou_avg.append(0.0); iou_pct.append(0.0)
+            f_avg.append(0.0); f_pct.append(0.0)
+            continue
+        iou_avg.append(float(ious.mean()))
+        iou_pct.append(float((ious > LP_THRESHOLD).mean()))
+        f_avg.append(float(fs.mean()))
+        f_pct.append(float((fs > LP_THRESHOLD).mean()))
+    return {"LP-IOU-avg": float(np.mean(iou_avg)),
+            "LP-IOU-percent": float(np.mean(iou_pct)),
+            "LP-F-score-avg": float(np.mean(f_avg)),
+            "LP-F-score-percent": float(np.mean(f_pct))}
 
 
 def grid_iou(a: np.ndarray, b: np.ndarray) -> float:

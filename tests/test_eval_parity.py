@@ -62,6 +62,22 @@ def test_lpips_full_scalar_parity():
     assert res["abs_err"] < 1e-5, res
 
 
+def test_lpips_real_lin_weights_parity():
+    """Full LPIPS scalar with the REAL bundled lin weights
+    (`/root/reference/evaluation/lpips_weights.ckpt`) — the learned 1x1
+    convs are the LPIPS-specific part of the metric; AlexNet stays
+    synthetic (transpose/shape risk is value-independent).  This pins the
+    BASELINE quality contract as far as the zero-egress container allows."""
+    import os
+    ckpt = "/root/reference/evaluation/lpips_weights.ckpt"
+    if not os.path.exists(ckpt):
+        pytest.skip("reference lpips ckpt not present")
+    res = parity.lpips_parity(lpips_ckpt_path=ckpt, image_size=96)
+    assert res["abs_err"] < 1e-5, res
+    # real weights produce a nonzero, sane-magnitude scalar
+    assert 0.0 < res["lpips_jax"] < 100.0, res
+
+
 def test_loaders_round_trip_shapes():
     """Every load_torch_weights consumes its documented key format."""
     import tempfile, os
