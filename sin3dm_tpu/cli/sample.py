@@ -84,9 +84,29 @@ def _build_sampler(args):
         from ..parallel import mesh as meshlib
         mesh = meshlib.make_mesh(n_dev if n_dev else None)
         print(f"sampling over {mesh.devices.size} devices (DP)")
+
+    y0 = mask = None
+    if getattr(args, "inpaint", False):
+        # masked generation: keep the known triplane outside the region,
+        # regenerate inside (ref `gaussian_diffusion.py:566-577`)
+        from ..diffusion.sampling import region_keep_masks
+        if not args.use_ddim:
+            raise ValueError("--inpaint requires --use_ddim")
+        src = args.inpaint_feat or cfgmod.encoding_feat_path(args.tag)
+        y0_feat = load_triplane_npz(src)
+        if y0_feat.sizes != (H, W, D):
+            raise ValueError(
+                f"--inpaint y0 sizes {y0_feat.sizes} != target {(H, W, D)}"
+                " (inpainting does not combine with --resize)")
+        # [H, W, C] -> [1, H, W, C]: broadcasts over the sample batch
+        y0 = y0_feat.map(lambda p: jnp.asarray(p)[None])
+        mask = region_keep_masks((H, W, D), tuple(args.inpaint_region))
+        print(f"inpainting region {tuple(args.inpaint_region)} from {src}")
+
     sampler = make_jit_sampler(
         lambda x, t: unet_apply(params, ucfg, x, t), tables, dcfg,
-        use_ddim=args.use_ddim, mesh=mesh)
+        use_ddim=args.use_ddim, mesh=mesh, y0=y0, mask=mask,
+        is_mask_t0=bool(getattr(args, "is_mask_t0", False)))
     return sampler, C, (H, W, D)
 
 

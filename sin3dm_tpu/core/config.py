@@ -154,6 +154,21 @@ def add_sampling_options(parser) -> None:
                    help="data-parallel devices for the reverse chain "
                         "(0 = all available, 1 = single device); the "
                         "batch shards over the mesh 'data' axis")
+    g.add_argument("--inpaint", type=str2bool, default=False,
+                   help="masked generation (DDIM only, "
+                        "`gaussian_diffusion.py:566-577`): keep the "
+                        "trained shape's triplane outside "
+                        "--inpaint_region, regenerate inside it")
+    g.add_argument("--inpaint_feat", type=str, default=None,
+                   help="y0 source feat.npz (default: the tag's "
+                        "encoding/feat.npz)")
+    g.add_argument("--inpaint_region", type=float, nargs=6,
+                   default=(0.25, 0.75, 0.25, 0.75, 0.0, 1.0),
+                   metavar=("X0", "X1", "Y0", "Y1", "Z0", "Z1"),
+                   help="fractional box of (H, W, D) to REGENERATE; "
+                        "everything outside is kept from y0")
+    g.add_argument("--is_mask_t0", type=str2bool, default=False,
+                   help="apply the y0 blend at t=0 too (exact paste)")
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.triplane import Triplane, randn
 from .gaussian import (DiffusionConfig, ModelFn, ddim_sample_step,
@@ -238,9 +239,42 @@ def ddim_sample_loop_progressive(model: ModelFn, tables,
     return _chunked_progressive(step, x, ts, snapshot_every)
 
 
+def region_keep_masks(sizes: Tuple[int, int, int],
+                      region: Tuple[float, float, float, float, float, float]
+                      ) -> Triplane:
+    """Per-plane keep-masks (1 = keep y0, 0 = regenerate) from a
+    fractional 3D box `(x0, x1, y0, y1, z0, z1)` in [0, 1] of (H, W, D).
+
+    Triplane features are 3D-ambiguous: an (h, w) cell of the xy plane
+    contributes to EVERY z.  A plane cell is therefore regenerated only
+    when NO kept 3D point reads it — i.e. its footprint lies inside the
+    box AND the box spans the plane's missing axis completely.  This is
+    conservative: with `is_mask_t0` the decode outside the box is exactly
+    preserved.  (The reference's mask is a raw composed-map mask with the
+    same ambiguity, `gaussian_diffusion.py:566-577`.)  Shapes [H, W, 1]
+    etc. broadcast over [B, H, W, C]."""
+    H, W, D = sizes
+    x0, x1, y0, y1, z0, z1 = region
+
+    def seg(n, a, b):
+        i = np.arange(n)
+        return ((i >= int(round(a * n)))
+                & (i < int(round(b * n)))).astype(np.float32)
+
+    mx, my, mz = seg(H, x0, x1), seg(W, y0, y1), seg(D, z0, z1)
+    fx, fy, fz = (float(m.all()) for m in (mx, my, mz))
+    return Triplane(
+        jnp.asarray(1.0 - mx[:, None] * my[None, :] * fz)[..., None],
+        jnp.asarray(1.0 - mx[:, None] * mz[None, :] * fy)[..., None],
+        jnp.asarray(1.0 - my[:, None] * mz[None, :] * fx)[..., None])
+
+
 def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
                      use_ddim: bool = False, eta: float = 0.0,
-                     clip_denoised: bool = True, mesh=None):
+                     clip_denoised: bool = True, mesh=None,
+                     y0: Optional[Triplane] = None,
+                     mask: Optional[Triplane] = None,
+                     is_mask_t0: bool = False):
     """Return a jitted `sample(key, batch, channels, sizes) -> Triplane`.
 
     batch/channels/sizes are static args; tables are captured as constants.
@@ -249,7 +283,14 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
     therefore the whole reverse chain) is sharded over the 'data' axis —
     each chip denoises its slice of the batch independently (SURVEY.md
     §2.3: n_samples shards trivially).
+
+    With `y0`/`mask` (DDIM only, `gaussian_diffusion.py:566-577`):
+    masked generation — pred_xstart is blended to `mask * y0 +
+    (1-mask) * pred_xstart` each step, i.e. mask=1 keeps y0.
     """
+    if (y0 is not None or mask is not None) and not use_ddim:
+        raise ValueError("masked generation (y0/mask) requires use_ddim")
+
     def fn(key, batch, channels, sizes):
         noise = None
         if mesh is not None:
@@ -267,7 +308,8 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
         if use_ddim:
             return ddim_sample_loop(model, tables, cfg, key, batch, channels,
                                     sizes, noise=noise, eta=eta,
-                                    clip_denoised=clip_denoised)
+                                    clip_denoised=clip_denoised,
+                                    y0=y0, mask=mask, is_mask_t0=is_mask_t0)
         return p_sample_loop(model, tables, cfg, key, batch, channels, sizes,
                              noise=noise, clip_denoised=clip_denoised)
 

@@ -146,6 +146,66 @@ def test_p_sample_t0_no_noise():
     np.testing.assert_allclose(np.asarray(s1.xy), np.asarray(s2.xy))
 
 
+def test_masked_ddim_loop_invariants():
+    """Masked generation (`gaussian_diffusion.py:566-577`): a keep-all
+    mask with is_mask_t0 reproduces y0 exactly; a keep-nothing mask
+    reproduces the unmasked chain exactly."""
+    from sin3dm_tpu.diffusion.sampling import ddim_sample_loop
+
+    # T=100: the reference's linear schedule scales beta_max by 1000/T,
+    # so very small T degenerates (beta_T=1 -> acp=0 -> inf recip tables)
+    tables = _tables(100)
+    cfg = _cfg()
+
+    def model(xt, tt):
+        return xt.map(lambda p: jnp.tanh(p))
+
+    key = jax.random.PRNGKey(11)
+    sizes = (8, 6, 4)
+    y0 = randn(jax.random.PRNGKey(12), 1, 4, sizes).map(jnp.tanh)
+    ones = y0.map(jnp.ones_like)
+
+    kept = ddim_sample_loop(model, tables, cfg, key, 1, 4, sizes,
+                            y0=y0, mask=ones, is_mask_t0=True)
+    np.testing.assert_allclose(np.asarray(kept.xy), np.asarray(y0.xy),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kept.yz), np.asarray(y0.yz),
+                               atol=1e-6)
+
+    free = ddim_sample_loop(model, tables, cfg, key, 1, 4, sizes,
+                            y0=y0, mask=ones.map(jnp.zeros_like))
+    plain = ddim_sample_loop(model, tables, cfg, key, 1, 4, sizes)
+    np.testing.assert_allclose(np.asarray(free.xy), np.asarray(plain.xy),
+                               atol=1e-6)
+
+
+def test_region_keep_masks_footprints():
+    """region_keep_masks: a plane cell is regenerated (0) only when its
+    footprint is inside the box AND the box spans the plane's missing
+    axis, so kept 3D points never read a regenerated cell."""
+    from sin3dm_tpu.diffusion.sampling import region_keep_masks
+
+    # half-H box spanning full y and z
+    m = region_keep_masks((8, 6, 4), (0.0, 0.5, 0.0, 1.0, 0.0, 1.0))
+    assert m.xy.shape == (8, 6, 1)
+    assert m.xz.shape == (8, 4, 1)
+    assert m.yz.shape == (6, 4, 1)
+    np.testing.assert_array_equal(np.asarray(m.xy[:4, :, 0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(m.xy[4:, :, 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(m.xz[:4, :, 0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(m.xz[4:, :, 0]), 1.0)
+    # box does NOT span all of H -> every yz cell supports kept points
+    np.testing.assert_array_equal(np.asarray(m.yz[..., 0]), 1.0)
+
+    # half-D box spanning full x and y: only xz and yz regenerate
+    mz = region_keep_masks((8, 6, 4), (0.0, 1.0, 0.0, 1.0, 0.5, 1.0))
+    np.testing.assert_array_equal(np.asarray(mz.xy[..., 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(mz.xz[:, :2, 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(mz.xz[:, 2:, 0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(mz.yz[:, :2, 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(mz.yz[:, 2:, 0]), 0.0)
+
+
 def test_respaced_model_timestep_remap():
     tables = _tables(100, "ddim10")
     cfg = _cfg(original_num_steps=100)

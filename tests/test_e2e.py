@@ -123,6 +123,34 @@ def test_full_pipeline_cli(tmp_path, monkeypatch):
     base = np.load(f"{tag}/results/000/feat.npz")
     assert fz["feat_xz"].shape[-1] == int(base["feat_xz"].shape[-1] * 1.5)
 
+    # --inpaint masked generation (`gaussian_diffusion.py:566-577`):
+    # regenerate the first half of H, keep the rest of the trained
+    # shape's own triplane; with --is_mask_t0 the kept cells are pasted
+    # exactly, so the sampled feat must match y0 outside the region
+    sample_cli.main([
+        "--tag", tag, "--n_samples", "1", "--use_ddim", "true",
+        "--timestep_respacing", "ddim5", "--reso", "24",
+        "--n_faces", "200", "--texreso", "64",
+        "--output", "results_inpaint", "--inpaint", "true",
+        "--inpaint_region", "0", "0.5", "0", "1", "0", "1",
+        "--is_mask_t0", "true"])
+    ind = f"{tag}/results_inpaint/000"
+    assert os.path.exists(os.path.join(ind, "object.obj"))
+    got = np.load(os.path.join(ind, "feat.npz"))
+    y0 = np.load(f"{tag}/encoding/feat.npz")
+    H = y0["feat_xy"].shape[1]
+    h2 = H // 2  # region regenerates rows [0, H/2); rows >= H/2 are kept
+    np.testing.assert_allclose(got["feat_xy"][:, h2:, :],
+                               y0["feat_xy"][:, h2:, :], atol=1e-5)
+    np.testing.assert_allclose(got["feat_xz"][:, h2:, :],
+                               y0["feat_xz"][:, h2:, :], atol=1e-5)
+    # the box does not span H, so every yz cell supports kept 3D points
+    # and is preserved (conservative region_keep_masks semantics)
+    np.testing.assert_allclose(got["feat_yz"], y0["feat_yz"], atol=1e-5)
+    # the regenerated half actually changed
+    assert np.abs(got["feat_xy"][:, :h2, :]
+                  - y0["feat_xy"][:, :h2, :]).max() > 1e-3
+
 
 @pytest.mark.slow
 def test_diffusion_training_test_env_hook(tmp_path, monkeypatch):
