@@ -85,6 +85,27 @@ def _build_sampler(args):
         mesh = meshlib.make_mesh(n_dev if n_dev else None)
         print(f"sampling over {mesh.devices.size} devices (DP)")
 
+    spatial_mesh = None
+    n_sp = int(getattr(args, "sample_spatial", 1))
+    if n_sp == 0 or n_sp > 1:
+        # plane-spatial sharding: shard every plane's dim 1 over 'space',
+        # halo-exchange 3x3 convs (parallel/halo.py) — for retargets
+        # whose planes exceed one chip's HBM
+        from ..parallel.halo import make_spatial_mesh
+        if mesh is not None:
+            raise ValueError("--sample_devices and --sample_spatial are "
+                             "mutually exclusive")
+        spatial_mesh = make_spatial_mesh(n_sp if n_sp else None)
+        n_sp = spatial_mesh.devices.size
+        for name, dim in (("H", H), ("W", W)):
+            if dim % (2 * n_sp):
+                raise ValueError(
+                    f"--sample_spatial {n_sp} needs {name}={dim} divisible "
+                    f"by {2 * n_sp} (one down level + even shards)")
+        # pallas fused conv is a single-chip path; halo convs replace it
+        ucfg = ucfg._replace(spatial_mesh=spatial_mesh, fused_conv=False)
+        print(f"sampling with planes sharded over {n_sp} devices (space)")
+
     y0 = mask = None
     if getattr(args, "inpaint", False):
         # masked generation: keep the known triplane outside the region,
@@ -106,7 +127,8 @@ def _build_sampler(args):
     sampler = make_jit_sampler(
         lambda x, t: unet_apply(params, ucfg, x, t), tables, dcfg,
         use_ddim=args.use_ddim, mesh=mesh, y0=y0, mask=mask,
-        is_mask_t0=bool(getattr(args, "is_mask_t0", False)))
+        is_mask_t0=bool(getattr(args, "is_mask_t0", False)),
+        spatial_mesh=spatial_mesh)
     return sampler, C, (H, W, D)
 
 

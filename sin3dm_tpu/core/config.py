@@ -154,6 +154,13 @@ def add_sampling_options(parser) -> None:
                    help="data-parallel devices for the reverse chain "
                         "(0 = all available, 1 = single device); the "
                         "batch shards over the mesh 'data' axis")
+    g.add_argument("--sample_spatial", type=int, default=1,
+                   help="plane-SPATIAL sharding devices for the reverse "
+                        "chain (0 = all available, 1 = off): dim 1 of "
+                        "every plane shards over a 'space' mesh axis, "
+                        "3x3 convs exchange halos via ppermute — the "
+                        "escalation path when a --resize retarget "
+                        "exceeds one chip's HBM")
     g.add_argument("--inpaint", type=str2bool, default=False,
                    help="masked generation (DDIM only, "
                         "`gaussian_diffusion.py:566-577`): keep the "

@@ -274,7 +274,8 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
                      clip_denoised: bool = True, mesh=None,
                      y0: Optional[Triplane] = None,
                      mask: Optional[Triplane] = None,
-                     is_mask_t0: bool = False):
+                     is_mask_t0: bool = False,
+                     spatial_mesh=None):
     """Return a jitted `sample(key, batch, channels, sizes) -> Triplane`.
 
     batch/channels/sizes are static args; tables are captured as constants.
@@ -284,12 +285,20 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
     each chip denoises its slice of the batch independently (SURVEY.md
     §2.3: n_samples shards trivially).
 
+    With a `spatial_mesh` (parallel/halo.py), plane-SPATIAL sharding: the
+    chain state's dim 1 shards over 'space' (pair with a UNetConfig built
+    with the same spatial_mesh) — the escalation path for retargeted
+    planes that exceed one chip's HBM.
+
     With `y0`/`mask` (DDIM only, `gaussian_diffusion.py:566-577`):
     masked generation — pred_xstart is blended to `mask * y0 +
     (1-mask) * pred_xstart` each step, i.e. mask=1 keeps y0.
     """
     if (y0 is not None or mask is not None) and not use_ddim:
         raise ValueError("masked generation (y0/mask) requires use_ddim")
+    if mesh is not None and spatial_mesh is not None:
+        raise ValueError("combine DP and spatial sharding via one mesh "
+                         "with both axes instead of two meshes")
 
     def fn(key, batch, channels, sizes):
         noise = None
@@ -303,6 +312,19 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
                 key, nk = jax.random.split(key)
                 noise = randn(nk, batch, channels, sizes)
             sh = NamedSharding(mesh, P("data"))
+            noise = noise.map(
+                lambda p: jax.lax.with_sharding_constraint(p, sh))
+        elif spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.halo import AXIS
+            if _is_key_batch(key, batch):
+                init_keys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, 0xFFFFFFFF))(key)
+                noise = _randn_per_sample(init_keys, channels, sizes)
+            else:
+                key, nk = jax.random.split(key)
+                noise = randn(nk, batch, channels, sizes)
+            sh = NamedSharding(spatial_mesh, P(None, AXIS))
             noise = noise.map(
                 lambda p: jax.lax.with_sharding_constraint(p, sh))
         if use_ddim:

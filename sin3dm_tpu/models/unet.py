@@ -53,6 +53,16 @@ class UNetConfig(NamedTuple):
     # the exact path's bf16->fp32 astype relayout copies cost ~20 ms per
     # train step.  Always on under fused_conv.
     fast_norm: bool = False
+    # Plane-SPATIAL sharding (a jax.sharding.Mesh with a 'space' axis, see
+    # parallel/halo.py): dim 1 of every plane (x for xy/xz, y for yz) is
+    # sharded across the mesh; 3x3 self-convs run through halo_conv2d
+    # (explicit 1-row ppermute halos), everything else (rollout means, GN
+    # stats, up/downsampling) rides GSPMD-inserted collectives.  This is
+    # the escalation path for retargeted planes that exceed one chip's
+    # HBM (`src/sample.py:26-30` full convolutionality).  Plane dims on
+    # the sharded axis must be divisible by 2^(levels-1) * mesh size.
+    # Mutually exclusive with fused_conv (single-chip pallas path).
+    spatial_mesh: Any = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -186,7 +196,8 @@ def _rowvar_vecs(vec: jax.Array, kb: jax.Array):
 
 
 def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
-                              fused: bool = False) -> Triplane:
+                              fused: bool = False,
+                              spatial_mesh=None) -> Triplane:
     """Rollout conv without materializing the 3x-channel concat.
 
     The rollout channels are axis-means BROADCAST along one spatial axis
@@ -215,7 +226,11 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
             return conv3x3_rollout_fused(
                 x, w[:, :, :C], pp.get("b"), col3, row3,
                 mxu_dtype=x.dtype)
-        y = nn.conv2d({"w": w[:, :, :C]}, x)
+        if spatial_mesh is not None:
+            from ..parallel.halo import halo_conv2d
+            y = halo_conv2d({"w": w[:, :, :C]}, x, spatial_mesh)
+        else:
+            y = nn.conv2d({"w": w[:, :, :C]}, x)
         kb_c = w[:, :, col_slot * C:(col_slot + 1) * C]
         kb_r = w[:, :, row_slot * C:(row_slot + 1) * C]
         y = y + _colvar_contrib(col_vec, kb_c, x.shape[1])
@@ -235,7 +250,7 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
 
 
 def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
-                 fused: bool = False) -> Triplane:
+                 fused: bool = False, spatial_mesh=None) -> Triplane:
     # the pallas path is sized for 2-byte compute; a 4-byte activation
     # (fp32 sampler) overflows the 16MB scoped-VMEM limit at batch>1 —
     # keep XLA convs there (bf16 is the production sampling dtype)
@@ -243,7 +258,8 @@ def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
         fused = False
     if rollout:
         if p["xy"]["w"].shape[0] == 3 and min(t.sizes) >= 2:
-            return _tconv_apply_rollout_fast(p, t, fused=fused)
+            return _tconv_apply_rollout_fast(p, t, fused=fused,
+                                             spatial_mesh=spatial_mesh)
         t = _rollout_cat(t)
     if fused and p["xy"]["w"].shape[0] == 3:
         from ..ops.fused_conv import conv3x3_rollout_fused
@@ -251,6 +267,10 @@ def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
             conv3x3_rollout_fused(x, pp["w"], pp.get("b"),
                                   mxu_dtype=x.dtype)
             for pp, x in zip((p["xy"], p["xz"], p["yz"]), t)])
+    if spatial_mesh is not None and p["xy"]["w"].shape[0] == 3:
+        from ..parallel.halo import halo_conv2d
+        return Triplane(*[halo_conv2d(pp, x, spatial_mesh)
+                          for pp, x in zip((p["xy"], p["xz"], p["yz"]), t)])
     return Triplane(nn.conv2d(p["xy"], t.xy),
                     nn.conv2d(p["xz"], t.xz),
                     nn.conv2d(p["yz"], t.yz))
@@ -310,14 +330,15 @@ def _tnorm_silu_fast(p: Dict, t: Triplane, film=None) -> Triplane:
 def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
                     use_scale_shift: bool, rollout: bool,
                     fused: bool = False,
-                    fast_norm: bool = False) -> Triplane:
+                    fast_norm: bool = False,
+                    spatial_mesh=None) -> Triplane:
     fast_norm = fast_norm or fused
     if fast_norm:
         h = _tnorm_silu_fast(p["in_norm"], t)
     else:
         h = _tnorm_apply(p["in_norm"], t)
         h = _tsilu(h)
-    h = _tconv_apply(p["in_conv"], h, rollout, fused)
+    h = _tconv_apply(p["in_conv"], h, rollout, fused, spatial_mesh)
 
     emb_out = nn.linear(p["emb"], nn.silu(emb)).astype(h.xy.dtype)
     emb_out = emb_out[:, None, None, :]  # [B,1,1,C or 2C]
@@ -330,7 +351,7 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
             h = _tnorm_apply(p["out_norm"], h)
             h = h.map(lambda v: v * (1.0 + scale) + shift)
             h = _tsilu(h)
-        h = _tconv_apply(p["out_conv"], h, rollout, fused)
+        h = _tconv_apply(p["out_conv"], h, rollout, fused, spatial_mesh)
     else:
         h = h.map(lambda v: v + emb_out)
         if fast_norm:
@@ -338,7 +359,7 @@ def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
         else:
             h = _tnorm_apply(p["out_norm"], h)
             h = _tsilu(h)
-        h = _tconv_apply(p["out_conv"], h, rollout, fused)
+        h = _tconv_apply(p["out_conv"], h, rollout, fused, spatial_mesh)
 
     skip = _tconv_apply(p["skip"], t, rollout=False) if "skip" in p else t
     return h + skip
@@ -431,13 +452,29 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
     emb = nn.timestep_embedding(timesteps, cfg.model_channels)
     emb = nn.linear(te["l2"], nn.silu(nn.linear(te["l1"], emb)))
 
+    mesh = cfg.spatial_mesh
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.halo import AXIS
+        _sh = NamedSharding(mesh, P(None, AXIS))
+
+        def constrain(t: Triplane) -> Triplane:
+            # dim 1 of every plane sharded over 'space'; GSPMD propagates
+            # through the elementwise/GN/resize ops between constraints
+            return t.map(
+                lambda v: jax.lax.with_sharding_constraint(v, _sh))
+    else:
+        constrain = lambda t: t
+
     h = x.astype(cfg.compute_dtype)
+    h = constrain(h)
     h = _tconv_apply(params["in_conv"], h, rollout=False)
 
     def run_block(p, t, e):
         fn = lambda pp, tt, ee: _resblock_apply(
             pp, tt, ee, cfg.use_scale_shift_norm, cfg.rollout,
-            fused=cfg.fused_conv, fast_norm=cfg.fast_norm)
+            fused=cfg.fused_conv, fast_norm=cfg.fast_norm,
+            spatial_mesh=mesh)
         if cfg.use_checkpoint:
             fn = jax.checkpoint(fn)
         return fn(p, t, e)
@@ -445,7 +482,7 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
     hs = []
     for level, blocks in enumerate(params["down"]):
         if level != 0:
-            h = _tdown2x(h)
+            h = constrain(_tdown2x(h))
         for bp in blocks:
             h = run_block(bp, h, emb)
         hs.append(h)
@@ -456,7 +493,7 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
             h = hs.pop()
         else:
             skip = hs.pop()
-            h = _resize_to(h, skip)
+            h = constrain(_resize_to(h, skip))
             h = Triplane(
                 jnp.concatenate([h.xy, skip.xy], axis=-1),
                 jnp.concatenate([h.xz, skip.xz], axis=-1),
@@ -464,7 +501,7 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
         for bp in blocks:
             h = run_block(bp, h, emb)
         if level < n_levels - 1:
-            h = _tup2x(h)
+            h = constrain(_tup2x(h))
 
     if cfg.fused_conv or cfg.fast_norm:
         h = _tnorm_silu_fast(params["out"]["norm"], h)
@@ -472,4 +509,6 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
         h = _tnorm_apply(params["out"]["norm"], h)
         h = _tsilu(h)
     h = _tconv_apply(params["out"]["conv"], h, rollout=False)
-    return h.astype(x.dtype)
+    # keep the output sharded like the input so a sampling scan's carry
+    # never round-trips through a replicated layout
+    return constrain(h.astype(x.dtype))

@@ -39,6 +39,63 @@ def test_halo_conv_matches_unsharded(ksize, n_dev):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_spatial_unet_forward_matches_unsharded():
+    """VERDICT r3 item 3: the FULL UNet forward with planes dim-1-sharded
+    over 'space' (halo_conv2d 3x3 self-convs + GSPMD for rollout means /
+    GN stats / resampling) matches the single-device forward."""
+    from sin3dm_tpu.core.triplane import randn
+    from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
+
+    mesh = halo.make_spatial_mesh(8)
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # H=32 and W=16 stay divisible by 8 after one 2x down level
+    x = randn(jax.random.PRNGKey(1), 1, 4, (32, 16, 48))
+    tt = jnp.array([17], jnp.int32)
+
+    expect = jax.jit(lambda xx: unet_apply(params, cfg, xx, tt))(x)
+    scfg = cfg._replace(spatial_mesh=mesh)
+    got = jax.jit(lambda xx: unet_apply(params, scfg, xx, tt))(x)
+
+    # output planes stay sharded on dim 1
+    assert got.xy.sharding.spec[1] == halo.AXIS, got.xy.sharding
+    assert got.yz.sharding.spec[1] == halo.AXIS, got.yz.sharding
+    for a, b in zip(got, expect):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_sampler_matches_unsharded():
+    """Sampling a retargeted oversized plane with the spatially-sharded
+    UNet reproduces the unsharded chain (same per-sample keys)."""
+    from sin3dm_tpu.diffusion.gaussian import DiffusionConfig
+    from sin3dm_tpu.diffusion.sampling import (make_jit_sampler,
+                                               sample_index_keys)
+    from sin3dm_tpu.diffusion.schedule import make_schedule
+    from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
+
+    mesh = halo.make_spatial_mesh(8)
+    cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    tables = {k: jnp.asarray(v) for k, v in
+              make_schedule("linear", 100, "ddim5").tables_f32().items()}
+    dcfg = DiffusionConfig(original_num_steps=100)
+    sizes = (32, 16, 48)  # e.g. a 1.5x z-retarget of a (32, 16, 32) train
+    keys = sample_index_keys(jax.random.PRNGKey(3), 0, 1)
+
+    plain = make_jit_sampler(
+        lambda x, t: unet_apply(params, cfg, x, t), tables, dcfg,
+        use_ddim=True)(keys, 1, 4, sizes)
+    scfg = cfg._replace(spatial_mesh=mesh)
+    sharded = make_jit_sampler(
+        lambda x, t: unet_apply(params, scfg, x, t), tables, dcfg,
+        use_ddim=True, spatial_mesh=mesh)(keys, 1, 4, sizes)
+
+    for a, b in zip(sharded, plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_halo_conv_under_jit_grad():
     """The halo conv composes with jit and grad (collectives differentiate
     through ppermute)."""

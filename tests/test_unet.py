@@ -184,7 +184,8 @@ def test_unet_apply_unchanged_by_fast_rollout():
     y_fast = unet_apply(params, cfg, x, t)
 
     orig = U._tconv_apply_rollout_fast
-    U._tconv_apply_rollout_fast = lambda p, tt, fused=False: U.Triplane(
+    U._tconv_apply_rollout_fast = \
+        lambda p, tt, fused=False, spatial_mesh=None: U.Triplane(
         U.nn.conv2d(p["xy"], U._rollout_cat(tt).xy),
         U.nn.conv2d(p["xz"], U._rollout_cat(tt).xz),
         U.nn.conv2d(p["yz"], U._rollout_cat(tt).yz))
