@@ -181,7 +181,8 @@ def _setup_synthetic():
               for k, v in make_schedule("linear", 1000).tables_f32().items()}
     dcfg = DiffusionConfig()
     sampler = make_jit_sampler(
-        lambda x, t: unet_apply(uparams, ucfg, x, t), tables, dcfg)
+        lambda p, x, t: unet_apply(p, ucfg, x, t), tables, dcfg,
+        params=uparams)
 
     # AE decoder at the default config; decode cost is weight-independent,
     # but MC/decimate/UV cost depends on surface complexity, so quick-fit

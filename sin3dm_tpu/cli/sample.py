@@ -124,11 +124,15 @@ def _build_sampler(args):
         mask = region_keep_masks((H, W, D), tuple(args.inpaint_region))
         print(f"inpainting region {tuple(args.inpaint_region)} from {src}")
 
+    # params ride as a jit argument (not baked constants): the compiled
+    # chain is weight-independent — cache entries survive checkpoint
+    # swaps and the serialized executable stays small (see
+    # make_jit_sampler docstring)
     sampler = make_jit_sampler(
-        lambda x, t: unet_apply(params, ucfg, x, t), tables, dcfg,
+        lambda p, x, t: unet_apply(p, ucfg, x, t), tables, dcfg,
         use_ddim=args.use_ddim, mesh=mesh, y0=y0, mask=mask,
         is_mask_t0=bool(getattr(args, "is_mask_t0", False)),
-        spatial_mesh=spatial_mesh)
+        spatial_mesh=spatial_mesh, params=params)
     return sampler, C, (H, W, D)
 
 

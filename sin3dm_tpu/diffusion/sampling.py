@@ -275,10 +275,20 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
                      y0: Optional[Triplane] = None,
                      mask: Optional[Triplane] = None,
                      is_mask_t0: bool = False,
-                     spatial_mesh=None):
+                     spatial_mesh=None,
+                     params=None):
     """Return a jitted `sample(key, batch, channels, sizes) -> Triplane`.
 
     batch/channels/sizes are static args; tables are captured as constants.
+
+    With `params`, `model` is called as `model(params, x, t)` and the
+    weights ride as a jit ARGUMENT instead of closure constants.  Use
+    this form for real checkpoints: constants are baked into the
+    serialized executable (measured 68 MB for the default UNet chain,
+    ~2 min to load through the remote-compile tunnel's persistent-cache
+    hit path) and make the cache key weight-dependent — as an argument,
+    the compiled chain is weight-independent, so switching checkpoints
+    reuses the same executable.
 
     With a `mesh`, sample-time data parallelism: the initial noise (and
     therefore the whole reverse chain) is sharded over the 'data' axis —
@@ -300,7 +310,9 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
         raise ValueError("combine DP and spatial sharding via one mesh "
                          "with both axes instead of two meshes")
 
-    def fn(key, batch, channels, sizes):
+    def fn(params_, key, batch, channels, sizes):
+        model_ = (model if params_ is None
+                  else (lambda x, t: model(params_, x, t)))
         noise = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -328,11 +340,16 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
             noise = noise.map(
                 lambda p: jax.lax.with_sharding_constraint(p, sh))
         if use_ddim:
-            return ddim_sample_loop(model, tables, cfg, key, batch, channels,
-                                    sizes, noise=noise, eta=eta,
+            return ddim_sample_loop(model_, tables, cfg, key, batch,
+                                    channels, sizes, noise=noise, eta=eta,
                                     clip_denoised=clip_denoised,
                                     y0=y0, mask=mask, is_mask_t0=is_mask_t0)
-        return p_sample_loop(model, tables, cfg, key, batch, channels, sizes,
-                             noise=noise, clip_denoised=clip_denoised)
+        return p_sample_loop(model_, tables, cfg, key, batch, channels,
+                             sizes, noise=noise, clip_denoised=clip_denoised)
 
-    return jax.jit(fn, static_argnums=(1, 2, 3))
+    jfn = jax.jit(fn, static_argnums=(2, 3, 4))
+
+    def sample(key, batch, channels, sizes):
+        return jfn(params, key, batch, channels, sizes)
+
+    return sample
