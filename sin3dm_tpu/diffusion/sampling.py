@@ -310,6 +310,17 @@ def make_jit_sampler(model: ModelFn, tables, cfg: DiffusionConfig,
         raise ValueError("combine DP and spatial sharding via one mesh "
                          "with both axes instead of two meshes")
 
+    if params is not None:
+        # pin the weights to device ONCE: checkpoint loaders hand back
+        # host numpy arrays, and jit arguments (unlike closure constants)
+        # would re-upload them on every sampler call
+        if mesh is not None or spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            m = mesh if mesh is not None else spatial_mesh
+            params = jax.device_put(params, NamedSharding(m, P()))
+        else:
+            params = jax.device_put(params)
+
     def fn(params_, key, batch, channels, sizes):
         model_ = (model if params_ is None
                   else (lambda x, t: model(params_, x, t)))

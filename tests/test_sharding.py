@@ -106,12 +106,24 @@ def test_graft_entry_compiles():
 
 
 def test_sample_time_dp():
-    """Sampler with a mesh: the reverse chain runs sharded over 'data'."""
+    """Sampler with a mesh: the reverse chain runs sharded over 'data'.
+
+    Exercises BOTH model forms: weights as closure constants and as a
+    jit argument (`params=`, the form the sample CLI ships — host numpy
+    in, replicated over the mesh by make_jit_sampler) and checks they
+    draw identical samples."""
     from sin3dm_tpu.diffusion.sampling import make_jit_sampler
 
     mesh = meshlib.make_mesh(8)
     ucfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4)
     params = init_unet(jax.random.PRNGKey(0), ucfg)
+    # jitter every weight (incl. the zero-init out convs) so the chain
+    # output actually depends on the weights
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = treedef.unflatten([
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
     tables = _tables(50)
     dcfg = DiffusionConfig(original_num_steps=50)
     sampler = make_jit_sampler(
@@ -121,6 +133,16 @@ def test_sample_time_dp():
     assert out.xy.shape == (16, 8, 8, 4)
     assert len(out.xy.sharding.device_set) == 8
     assert np.isfinite(np.asarray(out.xy)).all()
+    assert float(np.abs(np.asarray(out.xy)).mean()) > 1e-4
+
+    host_params = jax.device_get(params)  # numpy, like checkpoint loads
+    sampler_p = make_jit_sampler(
+        lambda p, x, t: unet_apply(p, ucfg, x, t), tables, dcfg,
+        use_ddim=True, mesh=mesh, params=host_params)
+    out_p = sampler_p(jax.random.PRNGKey(1), 16, 4, (8, 8, 8))
+    assert len(out_p.xy.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out_p.xy), np.asarray(out.xy),
+                               atol=1e-5)
 
 
 def test_ae_point_batch_sharded_matches_unsharded():
