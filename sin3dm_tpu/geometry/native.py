@@ -83,6 +83,10 @@ def lib() -> ctypes.CDLL:
     L.geo_rasterize_uv.argtypes = [c_float_p, ctypes.c_int, c_int_p,
                                    c_float_p, c_int_p, ctypes.c_int,
                                    ctypes.c_int, c_float_p, c_ubyte_p]
+    L.geo_mask_compact_q16.argtypes = [
+        c_float_p, c_ubyte_p, ctypes.c_longlong, c_float_p, c_float_p,
+        ctypes.POINTER(ctypes.c_ushort)]
+    L.geo_mask_compact_q16.restype = ctypes.c_longlong
     L.geo_charts_by_axis.argtypes = [c_float_p, c_int_p, ctypes.c_int,
                                      c_int_p, c_int_p]
     L.geo_oriented_rect_angles.argtypes = [
@@ -292,6 +296,34 @@ def rasterize_uv(uvs: np.ndarray, tri_uv: np.ndarray, verts: np.ndarray,
         v.ctypes.data_as(c_float_p), tpv.ctypes.data_as(c_int_p), nt, res,
         pos.ctypes.data_as(c_float_p), mask.ctypes.data_as(c_ubyte_p))
     return pos, mask.astype(bool)
+
+
+def mask_compact_q16(pos: np.ndarray, mask: np.ndarray, lo: np.ndarray,
+                     span: np.ndarray) -> np.ndarray:
+    """Masked compaction + uint16 AABB quantization in one C++ pass.
+
+    Equivalent to `np.clip(np.rint((pos[mask] - lo) / span * 65535.0),
+    0.0, 65535.0).astype(np.uint16)` (bit-identical: float32 math in the
+    same operation order, rint = round half to even) without the two
+    numpy passes over the 2048^2 position buffer — the texel-wire prep
+    for `training/ae.py _dispatch_texels`.
+
+    Args: pos [N, 3] float32, mask [N] bool/uint8, lo/span [3] float32.
+    Returns: [count, 3] uint16 in row-major scan order.
+    """
+    p = _f32(pos).reshape(-1, 3)
+    m = np.ascontiguousarray(mask, np.uint8).reshape(-1)
+    assert p.shape[0] == m.shape[0], (p.shape, m.shape)
+    lo = _f32(lo).reshape(3)
+    span = _f32(span).reshape(3)
+    out = np.empty((int(m.sum()), 3), np.uint16)
+    n = lib().geo_mask_compact_q16(
+        p.ctypes.data_as(c_float_p), m.ctypes.data_as(c_ubyte_p),
+        p.shape[0], lo.ctypes.data_as(c_float_p),
+        span.ctypes.data_as(c_float_p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)))
+    assert n == out.shape[0], (n, out.shape)
+    return out
 
 
 def charts_by_axis(verts: np.ndarray, tris: np.ndarray):

@@ -935,6 +935,11 @@ class AETrainer:
         aabb = jnp.asarray(aabb_np)
         wire = os.environ.get("SIN3DM_TEXEL_WIRE", self.tcfg.texel_wire)
         q16 = wire != "f32"
+        # uint16 input = pre-quantized positions (the fused C++
+        # compaction in _texmesh_geometry); ship as-is
+        pre_q16 = (isinstance(points, np.ndarray)
+                   and points.dtype == np.uint16)
+        q16 = q16 or pre_q16
         key = "texels_q16" if q16 else "texels"
         fn = self._jit_grid_dense.get(key)
         if fn is None:
@@ -946,12 +951,15 @@ class AETrainer:
                 fn = jax.jit(lambda p, tp, pts, ab: ae.decode_texels(
                     p, self.acfg, tp, pts, ab, fused_heads=fused))
             self._jit_grid_dense[key] = fn
-        points = np.asarray(points, np.float32)
-        if q16:
-            lo, span = aabb_np[:3], aabb_np[3:] - aabb_np[:3]
-            points = np.clip(
-                np.rint((points - lo) / span * 65535.0), 0.0,
-                65535.0).astype(np.uint16)
+        if pre_q16:
+            points = np.ascontiguousarray(points)
+        else:
+            points = np.asarray(points, np.float32)
+            if q16:
+                lo, span = aabb_np[:3], aabb_np[3:] - aabb_np[:3]
+                points = np.clip(
+                    np.rint((points - lo) / span * 65535.0), 0.0,
+                    65535.0).astype(np.uint16)
         N = points.shape[0]
         chunks = []
         with self._tpu_lock:
@@ -1042,7 +1050,20 @@ class AETrainer:
             v, f, texture_reso)
         t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels)", t0)
 
-        texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
+        wire = os.environ.get("SIN3DM_TEXEL_WIRE", self.tcfg.texel_wire)
+        if wire != "f32":
+            # fused C++ compaction + q16 quantization (one pass over the
+            # 2048^2 position buffer; the numpy gather + quantize cost
+            # ~0.6 s per bake on the shared host core).  Bit-identical to
+            # the numpy expression in _dispatch_texels, which recognizes
+            # the uint16 dtype and ships it as-is.
+            from ..geometry import native
+            lo = np.asarray(new_aabb[:3], np.float32)
+            span = np.asarray(new_aabb[3:], np.float32) - lo
+            texels = native.mask_compact_q16(
+                gb_pos.reshape(-1, 3), mask.reshape(-1), lo, span)
+        else:
+            texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
         return {"v": v, "f": f, "uvs": uvs, "tex_idx": tex_idx,
                 "mask": mask, "texels": texels}
 

@@ -221,3 +221,29 @@ def test_oriented_rect_angles_matches_python():
         np.testing.assert_allclose(rect_area(uv, a_nat),
                                    rect_area(uv, a_py), rtol=1e-9,
                                    atol=1e-12)
+
+
+def test_mask_compact_q16_bit_exact():
+    """Fused C++ compaction+quantization == the numpy texel-wire
+    expression (`training/ae.py _dispatch_texels`) bit for bit, including
+    clip boundaries and round-half-to-even cases."""
+    rng = np.random.default_rng(0)
+    N = 200_000
+    aabb = np.array([-1.0, -0.9, -0.7, 1.0, 0.9, 0.7])
+    lo = aabb[:3].astype(np.float32)
+    span = aabb[3:].astype(np.float32) - lo
+    pos = rng.uniform(aabb[:3] - 0.1, aabb[3:] + 0.1, (N, 3)
+                      ).astype(np.float32)
+    # exact half-integer quantization inputs exercise rint's
+    # round-half-to-even against np.rint
+    k = rng.integers(0, 65536, (2000, 3))
+    pos[:2000] = (k.astype(np.float32) + 0.5) * span / 65535.0 + lo
+    mask = rng.random(N) < 0.47
+
+    ref = np.clip(np.rint((pos[mask] - lo) / span * 65535.0), 0.0,
+                  65535.0).astype(np.uint16)
+    got = native.mask_compact_q16(pos, mask, lo, span)
+    np.testing.assert_array_equal(got, ref)
+    # empty mask
+    got0 = native.mask_compact_q16(pos, np.zeros(N, bool), lo, span)
+    assert got0.shape == (0, 3)
