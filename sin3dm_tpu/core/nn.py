@@ -197,6 +197,50 @@ def group_norm32_film_silu(p, x, film=None, num_groups: int = 32,
     return silu(y)
 
 
+def group_norm32_film_coeffs(p, x, film=None, num_groups: int = 32,
+                             eps: float = 1e-5):
+    """Per-channel fold of GroupNorm32 [+ FiLM] into (A, B) each [B, C]
+    fp32 such that `silu(x*A + B)` == `group_norm32_film_silu(p, x, film)`
+    (the apply in x.dtype, statistics in fp32 — same contract).
+
+    Used by the fused inference conv (`ops/fused_conv.py act=`): the
+    coefficients ride into the Pallas kernel, which applies the
+    activation on VMEM-resident data, so the full-size activated tensor
+    never round-trips HBM.
+    """
+    *lead, H, W, C = x.shape
+    g = num_groups
+    if C % g != 0:
+        raise ValueError(f"GroupNorm32 needs channels divisible by {g}, "
+                         f"got {C}")
+    xg = x.reshape(*lead, H, W, g, C // g).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(-4, -3, -1))          # [..., g]
+    var = jnp.var(xg, axis=(-4, -3, -1))
+    rstd = lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, C // g, axis=-1)      # [..., C]
+    rstd_c = jnp.repeat(rstd, C // g, axis=-1)
+    A = rstd_c * p["g"]
+    B = p["b"] - mean_c * A
+    if film is not None:
+        scale, shift = film                          # [B,1,1,C]
+        one_p = 1.0 + scale.astype(jnp.float32).reshape(*lead, C)
+        A = A * one_p
+        B = B * one_p + shift.astype(jnp.float32).reshape(*lead, C)
+    return A, B
+
+
+def apply_film_coeffs(x, A, B):
+    """`silu(x*A + B)` with the apply in x.dtype — the reference
+    elementwise form of `group_norm32_film_coeffs` (used by the XLA
+    fallback and as the golden in tests)."""
+    dt = x.dtype
+    lead = x.shape[:-3]
+    C = x.shape[-1]
+    Ax = A.reshape(*lead, 1, 1, C).astype(dt)
+    Bx = B.reshape(*lead, 1, 1, C).astype(dt)
+    return silu(x * Ax + Bx)
+
+
 def group_norm_init(channels: int):
     return {"g": jnp.ones((channels,), jnp.float32),
             "b": jnp.zeros((channels,), jnp.float32)}

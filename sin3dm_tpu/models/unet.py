@@ -195,9 +195,17 @@ def _rowvar_vecs(vec: jax.Array, kb: jax.Array):
         vec, (kb[:, 1:].sum(1), kb.sum(1), kb[:, :2].sum(1)))
 
 
+def _act_triplane(t: Triplane, act: Dict) -> Triplane:
+    """Apply folded norm+FiLM+SiLU coefficients per plane (the XLA form
+    of `ops/fused_conv.py act=`)."""
+    return Triplane(*[nn.apply_film_coeffs(x, *act[k])
+                      for k, x in zip(("xy", "xz", "yz"), t)])
+
+
 def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
                               fused: bool = False,
-                              spatial_mesh=None) -> Triplane:
+                              spatial_mesh=None,
+                              act: Dict = None) -> Triplane:
     """Rollout conv without materializing the 3x-channel concat.
 
     The rollout channels are axis-means BROADCAST along one spatial axis
@@ -205,16 +213,24 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
     contribution collapses to 3-tap 1D convs on the un-broadcast vectors
     (plus partial-kernel fixups at the two zero-padded border lines).
     Exact same math as conv(concat(...)), at ~1/3 the conv FLOPs — this
-    is the UNet's hot path on both training and the sampling chain."""
-    C = t.channels
-    m_yz_d = jnp.mean(t.yz, axis=-2)   # [B, W, C]
-    m_xz_d = jnp.mean(t.xz, axis=-2)   # [B, H, C]
-    m_xy_w = jnp.mean(t.xy, axis=-2)   # [B, H, C]
-    m_yz_w = jnp.mean(t.yz, axis=-3)   # [B, D, C]
-    m_xy_h = jnp.mean(t.xy, axis=-3)   # [B, W, C]
-    m_xz_h = jnp.mean(t.xz, axis=-3)   # [B, D, C]
+    is the UNet's hot path on both training and the sampling chain.
 
-    def one(pp, x, col_vec, row_vec, col_first: bool):
+    With `act` (per-plane folded GN32[+FiLM]+SiLU coefficients,
+    `core/nn.py group_norm32_film_coeffs`), `t` is the RAW pre-norm
+    triplane: the fused kernel applies the activation on VMEM-resident
+    data, and the axis-mean reductions below consume the activated
+    values without XLA ever materializing them (the apply fuses into
+    the reduces)."""
+    C = t.channels
+    ta = _act_triplane(t, act) if act is not None else t
+    m_yz_d = jnp.mean(ta.yz, axis=-2)   # [B, W, C]
+    m_xz_d = jnp.mean(ta.xz, axis=-2)   # [B, H, C]
+    m_xy_w = jnp.mean(ta.xy, axis=-2)   # [B, H, C]
+    m_yz_w = jnp.mean(ta.yz, axis=-3)   # [B, D, C]
+    m_xy_h = jnp.mean(ta.xy, axis=-3)   # [B, W, C]
+    m_xz_h = jnp.mean(ta.xz, axis=-3)   # [B, D, C]
+
+    def one(pp, x_raw, x_act, act_k, col_vec, row_vec, col_first: bool):
         w = pp["w"]
         col_slot, row_slot = (1, 2) if col_first else (2, 1)
         if fused:
@@ -224,33 +240,37 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
             row3 = _rowvar_vecs(row_vec,
                                 w[:, :, row_slot * C:(row_slot + 1) * C])
             return conv3x3_rollout_fused(
-                x, w[:, :, :C], pp.get("b"), col3, row3,
-                mxu_dtype=x.dtype)
+                x_raw, w[:, :, :C], pp.get("b"), col3, row3,
+                mxu_dtype=x_raw.dtype, act=act_k)
         if spatial_mesh is not None:
             from ..parallel.halo import halo_conv2d
-            y = halo_conv2d({"w": w[:, :, :C]}, x, spatial_mesh)
+            y = halo_conv2d({"w": w[:, :, :C]}, x_act, spatial_mesh)
         else:
-            y = nn.conv2d({"w": w[:, :, :C]}, x)
+            y = nn.conv2d({"w": w[:, :, :C]}, x_act)
         kb_c = w[:, :, col_slot * C:(col_slot + 1) * C]
         kb_r = w[:, :, row_slot * C:(row_slot + 1) * C]
-        y = y + _colvar_contrib(col_vec, kb_c, x.shape[1])
-        y = y + _rowvar_contrib(row_vec, kb_r, x.shape[2])
+        y = y + _colvar_contrib(col_vec, kb_c, x_act.shape[1])
+        y = y + _rowvar_contrib(row_vec, kb_r, x_act.shape[2])
         if "b" in pp:
             y = y + pp["b"].astype(y.dtype)
         return y
+
+    def ak(k):
+        return act[k] if act is not None else None
 
     # block order per plane follows _rollout_cat:
     #   xy: [self, col-varying (m_yz_d), row-varying (m_xz_d)]
     #   xz: [self, row-varying (m_xy_w), col-varying (m_yz_w)]
     #   yz: [self, row-varying (m_xy_h), col-varying (m_xz_h)]
-    xy = one(p["xy"], t.xy, m_yz_d, m_xz_d, col_first=True)
-    xz = one(p["xz"], t.xz, m_yz_w, m_xy_w, col_first=False)
-    yz = one(p["yz"], t.yz, m_xz_h, m_xy_h, col_first=False)
+    xy = one(p["xy"], t.xy, ta.xy, ak("xy"), m_yz_d, m_xz_d, col_first=True)
+    xz = one(p["xz"], t.xz, ta.xz, ak("xz"), m_yz_w, m_xy_w, col_first=False)
+    yz = one(p["yz"], t.yz, ta.yz, ak("yz"), m_xz_h, m_xy_h, col_first=False)
     return Triplane(xy, xz, yz)
 
 
 def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
-                 fused: bool = False, spatial_mesh=None) -> Triplane:
+                 fused: bool = False, spatial_mesh=None,
+                 act: Dict = None) -> Triplane:
     # the pallas path is sized for 2-byte compute; a 4-byte activation
     # (fp32 sampler) overflows the 16MB scoped-VMEM limit at batch>1 —
     # keep XLA convs there (bf16 is the production sampling dtype)
@@ -259,14 +279,22 @@ def _tconv_apply(p: Dict, t: Triplane, rollout: bool,
     if rollout:
         if p["xy"]["w"].shape[0] == 3 and min(t.sizes) >= 2:
             return _tconv_apply_rollout_fast(p, t, fused=fused,
-                                             spatial_mesh=spatial_mesh)
+                                             spatial_mesh=spatial_mesh,
+                                             act=act)
+        if act is not None:
+            t = _act_triplane(t, act)
+            act = None
         t = _rollout_cat(t)
     if fused and p["xy"]["w"].shape[0] == 3:
         from ..ops.fused_conv import conv3x3_rollout_fused
         return Triplane(*[
-            conv3x3_rollout_fused(x, pp["w"], pp.get("b"),
-                                  mxu_dtype=x.dtype)
-            for pp, x in zip((p["xy"], p["xz"], p["yz"]), t)])
+            conv3x3_rollout_fused(
+                x, pp["w"], pp.get("b"), mxu_dtype=x.dtype,
+                act=act[k] if act is not None else None)
+            for k, pp, x in zip(("xy", "xz", "yz"),
+                                (p["xy"], p["xz"], p["yz"]), t)])
+    if act is not None:
+        t = _act_triplane(t, act)
     if spatial_mesh is not None and p["xy"]["w"].shape[0] == 3:
         from ..parallel.halo import halo_conv2d
         return Triplane(*[halo_conv2d(pp, x, spatial_mesh)
@@ -327,11 +355,53 @@ def _tnorm_silu_fast(p: Dict, t: Triplane, film=None) -> Triplane:
         nn.group_norm32_film_silu(p["yz"], t.yz, film))
 
 
+def _tnorm_coeffs(p: Dict, t: Triplane, film=None) -> Dict:
+    """Per-plane folded GN32[+FiLM]+SiLU coefficients for the fused conv
+    (`ops/fused_conv.py act=`): stats in fp32, apply deferred into the
+    kernel."""
+    return {k: nn.group_norm32_film_coeffs(p[k], getattr(t, k), film=film)
+            for k in ("xy", "xz", "yz")}
+
+
+def _use_fused_act() -> bool:
+    """In-kernel pre-activation (conv kernel applies the folded
+    GN32+FiLM+SiLU while staging x) — OFF by default: measured SLOWER on
+    the v5e sampling chain (0.92-0.95 ms/step vs 0.80 ms/step), because
+    the chain is latency-bound, not HBM-bound (5.6% of peak HBM BW): the
+    staging pass serializes VPU work ahead of the MXU inside each kernel,
+    while XLA's separate elementwise pass overlaps with neighboring ops.
+    Kept behind SIN3DM_FUSED_ACT=1 (golden-tested) for future shapes
+    where the balance differs (larger planes / higher batch)."""
+    import os
+    return os.environ.get("SIN3DM_FUSED_ACT", "0") == "1"
+
+
 def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
                     use_scale_shift: bool, rollout: bool,
                     fused: bool = False,
                     fast_norm: bool = False,
                     spatial_mesh=None) -> Triplane:
+    if fused and _use_fused_act():
+        # norm+FiLM+SiLU fold into per-channel coefficients consumed
+        # INSIDE the conv kernel: the activated tensors never hit HBM
+        # (the rollout means fuse the apply into their reductions)
+        a1 = _tnorm_coeffs(p["in_norm"], t)
+        h = _tconv_apply(p["in_conv"], t, rollout, fused, spatial_mesh,
+                         act=a1)
+        emb_out = nn.linear(p["emb"], nn.silu(emb)).astype(h.xy.dtype)
+        emb_out = emb_out[:, None, None, :]  # [B,1,1,C or 2C]
+        if use_scale_shift:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            a2 = _tnorm_coeffs(p["out_norm"], h, film=(scale, shift))
+        else:
+            h = h.map(lambda v: v + emb_out)
+            a2 = _tnorm_coeffs(p["out_norm"], h)
+        h = _tconv_apply(p["out_conv"], h, rollout, fused, spatial_mesh,
+                         act=a2)
+        skip = (_tconv_apply(p["skip"], t, rollout=False)
+                if "skip" in p else t)
+        return h + skip
+
     fast_norm = fast_norm or fused
     if fast_norm:
         h = _tnorm_silu_fast(p["in_norm"], t)

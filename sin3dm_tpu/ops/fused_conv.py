@@ -13,6 +13,16 @@ VMEM-resident: im2col into a [TH*W, 9C] scratch, ONE MXU dot per row
 tile ([TH*W, 9C] @ [9C, Co]), bias + rollout border-select epilogue in
 registers, bf16 out.  HBM traffic = read x once + write y once.
 
+With `act=(A, B)` the kernel additionally applies the pre-activation
+`silu(x * A + B)` (per-channel fp32 coefficients — a folded
+GroupNorm32 [+ FiLM], see `core/nn.py group_norm32_film_coeffs`) while
+staging x into a VMEM halo scratch at the first row tile.  That removes
+the full-size HBM round trip of the activated tensor the XLA path pays
+per conv — the norm/silu runs once per plane on VMEM-resident data, in
+row chunks so the fp32 temporaries stay within the scoped-VMEM stack
+budget (a whole-plane fp32 apply costs a 6 MB lane-padded stack temp at
+towerruins scale and OOMs the 16 MB scoped limit).
+
 Semantics match `_tconv_apply_rollout_fast`'s `one()` exactly (same
 contribution math; golden-tested in tests/test_fused_conv.py).
 Reference conv semantics: `unet_triplane.py:21-60` (three per-plane 2D
@@ -35,19 +45,46 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(TH: int, W: int, H: int, C: int, Co: int, has_rollout: bool,
-            out_dtype, x_ref, w_ref, b_ref, *refs):
+            has_act: bool, out_dtype, x_ref, w_ref, b_ref, *refs):
+    refs = list(refs)
+    a_ref = b2_ref = None
+    if has_act:
+        a_ref, b2_ref = refs[0], refs[1]
+        refs = refs[2:]
     if has_rollout:  # kernel args: ins..., outs..., scratch...
-        (st_ref, sf_ref, sb_ref, rl_ref, rf_ref, rr_ref,
-         out_ref, im_ref) = refs
-    else:
-        out_ref, im_ref = refs
+        st_ref, sf_ref, sb_ref, rl_ref, rf_ref, rr_ref = refs[:6]
+        refs = refs[6:]
+    out_ref = refs[0]
+    im_ref = refs[-1]
+    xp_ref = refs[1] if has_act else x_ref  # halo scratch only with act
     i = pl.program_id(1)
     WP = im_ref.shape[0] // TH
+
+    if has_act:
+        # stage silu(x*A+B) into the halo scratch ONCE per plane (the
+        # scratch persists across the row-tile grid axis, which is the
+        # fastest).  fp32 apply in row chunks: Mosaic rejects mixed
+        # f32-scalar/bf16-vector broadcasts inside sigmoid, and a
+        # whole-plane fp32 temp would blow the scoped-VMEM stack.
+        @pl.when(i == 0)
+        def _stage():
+            xp_ref[:] = jnp.zeros(xp_ref.shape, xp_ref.dtype)
+            CH = 16
+            for r0 in range(0, H, CH):
+                rr = min(CH, H - r0)
+                xv = x_ref[0, pl.ds(r0 + 1, rr), 1:W + 1, :]
+                xa = xv.astype(jnp.float32) * a_ref[0] + b2_ref[0]
+                xa = xa * jax.nn.sigmoid(xa)
+                xp_ref[pl.ds(r0 + 1, rr), 1:W + 1, :] = (
+                    xa.astype(xp_ref.dtype))
 
     # im2col: 9 shifted [TH, WP, C] windows -> [TH*WP, 9C]
     for dh in range(3):
         for dw in range(3):
-            win = x_ref[0, pl.ds(i * TH + dh, TH), dw:dw + WP, :]
+            if has_act:
+                win = xp_ref[pl.ds(i * TH + dh, TH), dw:dw + WP, :]
+            else:
+                win = x_ref[0, pl.ds(i * TH + dh, TH), dw:dw + WP, :]
             k = dh * 3 + dw
             im_ref[:, k * C:(k + 1) * C] = win.reshape(TH * WP, C)
 
@@ -86,13 +123,18 @@ def conv3x3_rollout_fused(
         col3: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
         row3: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
         tile_h: Optional[int] = None, interpret: Optional[bool] = None,
-        mxu_dtype=jnp.bfloat16) -> jax.Array:
-    """y = conv3x3_SAME(x) + b + colvar + rowvar, one pallas program.
+        mxu_dtype=jnp.bfloat16,
+        act: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
+    """y = conv3x3_SAME(act(x)) + b + colvar + rowvar, one pallas program.
 
     x: [B, H, W, C]; w: [3, 3, C, Co]; b: [Co] or None.
     col3: (s_top, s_full, s_bot) each [B, W, Co] — the rollout
       contribution of the column-varying broadcast plane (row-class
       select).  row3: (r_left, r_full, r_right) each [B, H, Co].
+    act: optional per-channel pre-activation coefficients (A, B) each
+      [B, C] fp32; the kernel computes silu(x*A + B) (fp32 apply) while
+      staging x (a folded GroupNorm32 [+ FiLM] + SiLU).  col3/row3 must
+      then be computed from the ACTIVATED plane means by the caller.
     Returns [B, H, W, Co] in x.dtype.  interpret defaults to True on the
     CPU backend (tests).
     """
@@ -101,6 +143,7 @@ def conv3x3_rollout_fused(
     B, H, W, C = x.shape
     Co = w.shape[-1]
     has_rollout = col3 is not None
+    has_act = act is not None
 
     # Wide inputs (the up-path skip-concat conv, C=192) would blow the
     # 16MB VMEM scoped limit (the im2col scratch is 9C wide).  By conv
@@ -113,20 +156,28 @@ def conv3x3_rollout_fused(
     elem = jnp.dtype(mxu_dtype).itemsize
     c_max = 128 if elem <= 2 else 64
     if C > c_max:
+        def act_slice(lo, hi):
+            if act is None:
+                return None
+            return (act[0][:, lo:hi], act[1][:, lo:hi])
         y = conv3x3_rollout_fused(
             x[..., :c_max], w[:, :, :c_max], b, col3, row3,
-            tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype)
+            tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype,
+            act=act_slice(0, c_max))
         for lo in range(c_max, C, c_max):
             hi = min(lo + c_max, C)
             y = y + conv3x3_rollout_fused(
                 x[..., lo:hi], w[:, :, lo:hi], None,
-                tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype)
+                tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype,
+                act=act_slice(lo, hi))
         return y
 
     if tile_h is None:
         import os
-        tile_h = int(os.environ.get("SIN3DM_FUSED_TILE",
-                                    "16" if elem <= 2 else "8"))
+        # the act path carries an extra halo scratch; a smaller row tile
+        # keeps its im2col + out blocks inside the scoped-VMEM budget
+        default = ("8" if has_act else "16") if elem <= 2 else "8"
+        tile_h = int(os.environ.get("SIN3DM_FUSED_TILE", default))
     TH = tile_h
     HP = _round_up(H, TH)
     WP = _round_up(W, 16)
@@ -148,6 +199,12 @@ def conv3x3_rollout_fused(
         pl.BlockSpec((1, Co), lambda bi, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if has_act:
+        A, Bc = act
+        for v in (A, Bc):
+            operands.append(v.astype(jnp.float32))
+            in_specs.append(pl.BlockSpec(
+                (1, C), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM))
     if has_rollout:
         s_top, s_full, s_bot = col3
         r_left, r_full, r_right = row3
@@ -164,15 +221,21 @@ def conv3x3_rollout_fused(
                 (1, HP, Co), lambda bi, i: (bi, 0, 0),
                 memory_space=pltpu.VMEM))
 
+    scratch = []
+    if has_act:
+        scratch.append(pltpu.VMEM((HP + 2, WP + 2, C), mxu_dtype))
+    scratch.append(pltpu.VMEM((TH * WP, 9 * C), mxu_dtype))
+
     out = pl.pallas_call(
-        functools.partial(_kernel, TH, W, H, C, Co, has_rollout, x.dtype),
+        functools.partial(_kernel, TH, W, H, C, Co, has_rollout, has_act,
+                          x.dtype),
         grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TH, WP, Co),
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HP, WP, Co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((TH * WP, 9 * C), mxu_dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
     return out[:, :H, :W, :]

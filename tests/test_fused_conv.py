@@ -69,3 +69,42 @@ def test_unet_apply_fused_parity():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("C", [32, 64, 192])
+def test_fused_act_parity(C):
+    """In-kernel pre-activation silu(x*A+B) == activating first and
+    convolving (covers the channel-split path at C=192)."""
+    Co = 32
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    x = jax.random.normal(keys[0], (2, 10, 18, C))
+    w = jax.random.normal(keys[1], (3, 3, C, Co)) * 0.1
+    b = jax.random.normal(keys[2], (Co,)) * 0.1
+    A = jax.random.normal(keys[3], (2, C)) * 0.5 + 1.0
+    Bc = jax.random.normal(keys[4], (2, C)) * 0.2
+    ref = conv3x3_rollout_fused(nn.apply_film_coeffs(x, A, Bc), w, b,
+                                tile_h=4, mxu_dtype=jnp.float32)
+    out = conv3x3_rollout_fused(x, w, b, tile_h=4,
+                                mxu_dtype=jnp.float32, act=(A, Bc))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_rollout_tconv_act_parity():
+    """Rollout fast path with folded norm coefficients (raw input + act)
+    == activating the triplane first (XLA)."""
+    H, W, D = 12, 20, 8
+    C, Co = 32, 32
+    keys = jax.random.split(jax.random.PRNGKey(8), 4)
+    t = Triplane(jax.random.normal(keys[0], (1, H, W, C)),
+                 jax.random.normal(keys[1], (1, H, D, C)),
+                 jax.random.normal(keys[2], (1, W, D, C)))
+    p = U._tconv_init(keys[3], C, Co, 3, rollout=True)
+    np_ = U._tnorm_init(C)
+    act = U._tnorm_coeffs(np_, t)
+    ta = U._act_triplane(t, act)
+    ref = U._tconv_apply(p, ta, rollout=True, fused=False)
+    out = U._tconv_apply(p, t, rollout=True, fused=True, act=act)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)

@@ -185,7 +185,7 @@ def test_unet_apply_unchanged_by_fast_rollout():
 
     orig = U._tconv_apply_rollout_fast
     U._tconv_apply_rollout_fast = \
-        lambda p, tt, fused=False, spatial_mesh=None: U.Triplane(
+        lambda p, tt, fused=False, spatial_mesh=None, act=None: U.Triplane(
         U.nn.conv2d(p["xy"], U._rollout_cat(tt).xy),
         U.nn.conv2d(p["xz"], U._rollout_cat(tt).xz),
         U.nn.conv2d(p["yz"], U._rollout_cat(tt).yz))
