@@ -87,6 +87,9 @@ def lib() -> ctypes.CDLL:
         c_float_p, c_ubyte_p, ctypes.c_longlong, c_float_p, c_float_p,
         ctypes.POINTER(ctypes.c_ushort)]
     L.geo_mask_compact_q16.restype = ctypes.c_longlong
+    L.geo_tex_assemble.argtypes = [c_ubyte_p, c_ubyte_p, ctypes.c_int,
+                                   ctypes.c_int, c_ubyte_p]
+    L.geo_tex_assemble.restype = ctypes.c_longlong
     L.geo_charts_by_axis.argtypes = [c_float_p, c_int_p, ctypes.c_int,
                                      c_int_p, c_int_p]
     L.geo_oriented_rect_angles.argtypes = [
@@ -323,6 +326,31 @@ def mask_compact_q16(pos: np.ndarray, mask: np.ndarray, lo: np.ndarray,
         span.ctypes.data_as(c_float_p),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)))
     assert n == out.shape[0], (n, out.shape)
+    return out
+
+
+def tex_assemble(preds: np.ndarray, mask: np.ndarray, reso: int
+                 ) -> np.ndarray:
+    """Scatter decoded texel colors + 3x3 seam dilation + vertical flip
+    in one pass (the texture bake tail, `model.py:426-429`).
+
+    Exactly equivalent to:
+        img = zeros((R, R, C), u8); img[mask] = preds
+        out = where(mask, img, cv2.dilate(img, ones(3,3)))[::-1]
+    (cv2.dilate's default border never contributes to the max.)
+
+    Args: preds [N, C] uint8 (N = mask.sum()), mask [R, R] bool/uint8.
+    Returns: [R, R, C] uint8, already flipped (row 0 = top, v = 1).
+    """
+    preds = np.ascontiguousarray(preds, np.uint8)
+    m = np.ascontiguousarray(mask, np.uint8).reshape(-1)
+    C = preds.shape[-1]
+    assert m.shape[0] == reso * reso, (m.shape, reso)
+    out = np.empty((reso, reso, C), np.uint8)
+    n = lib().geo_tex_assemble(
+        preds.ctypes.data_as(c_ubyte_p), m.ctypes.data_as(c_ubyte_p),
+        reso, C, out.ctypes.data_as(c_ubyte_p))
+    assert n == preds.shape[0], (n, preds.shape)
     return out
 
 

@@ -1072,7 +1072,6 @@ class AETrainer:
                           tick) -> None:
         """Blocking tail: gather the texel chunks, dilate seams, export."""
         import time
-        import cv2
         from ..geometry import meshio
 
         t0 = time.perf_counter()
@@ -1082,19 +1081,11 @@ class AETrainer:
         t0 = tick("texel decode", t0)
         mask = cpu["mask"]
         v, f, uvs, tex_idx = cpu["v"], cpu["f"], cpu["uvs"], cpu["tex_idx"]
-        n_tex_ch = preds.shape[-1]
-        tex_img = np.zeros((texture_reso, texture_reso, n_tex_ch), np.uint8)
-        tex_img[mask] = preds
-
-        # 3x3 dilation fills seam texels (`model.py:426-429`)
-        m = mask[..., None].astype(np.uint8)
-        dilate_img = cv2.dilate(tex_img, np.ones((3, 3), "uint8"),
-                                iterations=1)
-        if dilate_img.ndim == 2:
-            dilate_img = dilate_img[..., None]
-        tex_img = tex_img * m + dilate_img * (1 - m)
-        tex_img = np.clip(tex_img, 0, 255).astype(np.uint8)
-        tex_img = tex_img[::-1]  # flip: texture row 0 = top (v = 1)
+        # scatter + 3x3 seam dilation (`model.py:426-429`) + flip in one
+        # C++ pass (bit-identical to the numpy/cv2 chain it replaced;
+        # tests/test_geometry_native.py::test_tex_assemble_matches_cv2)
+        from ..geometry import native
+        tex_img = native.tex_assemble(preds, mask, texture_reso)
         t0 = tick("texture assembly", t0)
 
         if self.acfg.data_type == "sdftex":

@@ -247,3 +247,25 @@ def test_mask_compact_q16_bit_exact():
     # empty mask
     got0 = native.mask_compact_q16(pos, np.zeros(N, bool), lo, span)
     assert got0.shape == (0, 3)
+
+
+def test_tex_assemble_matches_cv2():
+    """Fused C++ scatter+dilate+flip == the numpy/cv2 reference chain
+    it replaced (`model.py:426-429` semantics), bit for bit."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    for R, C in ((64, 3), (48, 8), (33, 1)):
+        mask = rng.random((R, R)) < 0.4
+        preds = rng.integers(0, 256, (int(mask.sum()), C)).astype(np.uint8)
+
+        img = np.zeros((R, R, C), np.uint8)
+        img[mask] = preds
+        dil = cv2.dilate(img, np.ones((3, 3), "uint8"), iterations=1)
+        if dil.ndim == 2:
+            dil = dil[..., None]
+        m = mask[..., None].astype(np.uint8)
+        ref = (img * m + dil * (1 - m))[::-1]
+
+        got = native.tex_assemble(preds, mask, R)
+        np.testing.assert_array_equal(got, ref)
