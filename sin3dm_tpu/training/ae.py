@@ -417,7 +417,40 @@ class AETrainer:
         # interleaved TPU dispatches from multiple host threads thrash the
         # dispatch path (measured 8.5x slower through a high-RTT link).
         self._tpu_lock = threading.Lock()
+        # Single background writer for the export tail (texel gather +
+        # texture assembly + PNG/OBJ write): its hot parts release the
+        # GIL (device->host copies, C++ tex_assemble, cv2's libpng), so
+        # it fills the main thread's chain-block sleep windows instead
+        # of extending the pipeline's critical path.  One worker keeps
+        # file outputs ordered; SIN3DM_ASYNC_EXPORT=0 restores the
+        # synchronous tail.
+        self._export_pool = None
+        self._export_futs: list = []
+        self._export_lock = threading.Lock()
         os.makedirs(log_dir, exist_ok=True)
+
+    def _submit_assemble(self, **kw) -> None:
+        """Run :meth:`_texmesh_assemble` on the background writer (or
+        inline when async export is disabled)."""
+        if os.environ.get("SIN3DM_ASYNC_EXPORT", "1") in ("0", "false", ""):
+            self._texmesh_assemble(**kw)
+            return
+        with self._export_lock:
+            if self._export_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._export_pool = ThreadPoolExecutor(
+                    1, thread_name_prefix="sin3dm-export")
+            fut = self._export_pool.submit(self._texmesh_assemble, **kw)
+            self._export_futs.append(fut)
+
+    def _drain_exports(self) -> None:
+        """Block until every submitted export finished; re-raise the
+        first worker error.  Decode entry points drain before returning,
+        so callers still observe files-on-return semantics."""
+        with self._export_lock:
+            futs, self._export_futs = self._export_futs, []
+        for fut in futs:
+            fut.result()
 
     def _fused_heads(self) -> bool:
         """Route inference MLP heads through the Pallas VMEM-resident
@@ -798,19 +831,22 @@ class AETrainer:
             texel_handle = self._dispatch_texels(
                 feat, cpu["texels"], new_aabb)
             # assemble the PREVIOUS sample while this one's texels stream
+            # (on the background writer: its GIL-free encode/IO overlaps
+            # this sample's geometry and the next chain block)
             if pending is not None:
-                self._texmesh_assemble(mtl_path=mtl_path,
-                                       file_format=file_format,
-                                       tick=tick, **pending)
+                self._submit_assemble(mtl_path=mtl_path,
+                                      file_format=file_format,
+                                      tick=tick, **pending)
             pending = dict(save_dir=save_dir, cpu=cpu,
                            texel_handle=texel_handle,
                            texture_reso=texture_reso)
         if defer_last:
             return pending
         if pending is not None:
-            self._texmesh_assemble(mtl_path=mtl_path,
-                                   file_format=file_format, tick=tick,
-                                   **pending)
+            self._submit_assemble(mtl_path=mtl_path,
+                                  file_format=file_format, tick=tick,
+                                  **pending)
+        self._drain_exports()  # files-on-return; re-raises worker errors
         return None
 
     def pipelined_generate(self, chunks, sample_chunk, prepare_chunk,
@@ -868,6 +904,7 @@ class AETrainer:
                         mtl_path=decode_kwargs.get("mtl_path"),
                         file_format=decode_kwargs.get("file_format", "obj"),
                         tick=lambda label, t0: t0, **pending_asm)
+                self._drain_exports()  # flush background-writer exports
             except Exception:
                 pass  # the original error is what the caller must see
             raise

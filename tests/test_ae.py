@@ -113,6 +113,49 @@ def test_tsdf_eval_rel_error_zero_gt_safe():
     assert res2["mean_tsdf_rel_error"] == pytest.approx(exp, rel=1e-6)
 
 
+def test_async_export_orders_and_propagates_errors(tmp_path):
+    """The background export writer must (a) run submitted assembles in
+    submission order on ONE worker and (b) re-raise worker errors at the
+    drain point (decode entry points drain before returning)."""
+    acfg = _cfg()
+    trainer = ae_train.AETrainer(str(tmp_path / "log"), acfg,
+                                 ae_train.AETrainerConfig())
+    seen = []
+    trainer._submit_assemble_probe = None  # noqa: attribute for clarity
+
+    def fake_assemble(**kw):
+        seen.append(kw["save_dir"])
+
+    trainer._texmesh_assemble = fake_assemble
+    for i in range(4):
+        trainer._submit_assemble(save_dir=f"s{i}")
+    trainer._drain_exports()
+    assert seen == ["s0", "s1", "s2", "s3"]
+
+    def boom(**kw):
+        raise RuntimeError("writer failed")
+
+    trainer._texmesh_assemble = boom
+    trainer._submit_assemble(save_dir="x")
+    with pytest.raises(RuntimeError, match="writer failed"):
+        trainer._drain_exports()
+    # drained: a second drain is a no-op
+    trainer._drain_exports()
+
+    # sync opt-out runs inline (no pool, immediate effect)
+    trainer2 = ae_train.AETrainer(str(tmp_path / "log2"), acfg,
+                                  ae_train.AETrainerConfig())
+    trainer2._texmesh_assemble = fake_assemble
+    import os as _os
+    _os.environ["SIN3DM_ASYNC_EXPORT"] = "0"
+    try:
+        trainer2._submit_assemble(save_dir="inline")
+        assert seen[-1] == "inline"
+        assert trainer2._export_pool is None
+    finally:
+        del _os.environ["SIN3DM_ASYNC_EXPORT"]
+
+
 def _make_sphere_npz(path, n=32, reso_pts=24):
     """Synthetic sdftex dataset with the reference npz schema."""
     rng = np.random.default_rng(0)
