@@ -68,7 +68,18 @@ def _build_sampler(args):
     params = init_unet(jax.random.PRNGKey(0), ucfg)
     model_path = cfgmod.diffusion_model_path(args.tag, args.ema_rate,
                                              args.diff_n_iters)
-    params, _ = ckpt.load_pytree(model_path, params)
+    from ..compat import torch_import as ti
+    if ti.is_torch_file(model_path):
+        # reference torch EMA file: transplant the weights in-memory so
+        # --tag can point straight at a reference/published checkpoint
+        # (parity: tests/test_torch_import.py)
+        print(f"weight-transplanting reference torch ckpt: {model_path}")
+        params = jax.tree_util.tree_map(
+            jnp.asarray,
+            ti.unet_params_from_state_dict(ti.load_torch_file(model_path),
+                                           ucfg))
+    else:
+        params, _ = ckpt.load_pytree(model_path, params)
 
     respacing = args.timestep_respacing if args.use_ddim else ""
     sched = cfgmod.schedule_from_args(args, respacing=respacing)

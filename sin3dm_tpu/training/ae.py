@@ -1214,9 +1214,19 @@ class AETrainer:
             ckpt.save_pytree(path, tree, meta=self.meta)
 
     def load_ckpt(self, name: str) -> None:
-        """Load params (+meta) — handles both the params-only layout and
-        the combined params/opt_state/step layout."""
+        """Load params (+meta) — handles the params-only layout, the
+        combined params/opt_state/step layout, and reference torch
+        bundles (`src/encoding/model.py:141-157`) via weight transplant
+        (`compat/torch_import.py`), so log_dir can point straight at a
+        reference/published checkpoint directory."""
         path = os.path.join(self.log_dir, f"ckpt_{name}.pth")
+        from ..compat import torch_import as ti
+        if ti.is_torch_file(path):
+            print(f"weight-transplanting reference torch ckpt: {path}")
+            self.params, self.meta = ti.ae_bundle_to_tree(
+                ti.load_torch_file(path), self.acfg)
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+            return
         if self.params is None:
             self.params = ae.init_autoencoder(jax.random.PRNGKey(0),
                                               self.acfg)
