@@ -10,7 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
 start=$(date +%s)
-python -m pytest tests/ -q --durations=15 "$@" 2>&1 | tee artifacts/ci_last.log
+python -m pytest tests/ -q -rs --durations=15 "$@" 2>&1 | tee artifacts/ci_last.log
 rc=${PIPESTATUS[0]}
 end=$(date +%s)
 {
@@ -18,6 +18,8 @@ end=$(date +%s)
   echo "wall_seconds=$((end - start))"
   echo "rc=$rc"
   grep -E "passed|failed|error" artifacts/ci_last.log | tail -3
+  # name every skip so a silently skipped parity test can't hide
+  grep "^SKIPPED" artifacts/ci_last.log || true
 } > artifacts/ci_summary.txt
 cat artifacts/ci_summary.txt
 exit $rc

@@ -111,8 +111,12 @@ class DiffusionSchedule:
         set_(self, "sqrt_alphas_cumprod", np.sqrt(acp))
         set_(self, "sqrt_one_minus_alphas_cumprod", np.sqrt(1.0 - acp))
         set_(self, "log_one_minus_alphas_cumprod", np.log(1.0 - acp))
-        set_(self, "sqrt_recip_alphas_cumprod", np.sqrt(1.0 / acp))
-        set_(self, "sqrt_recipm1_alphas_cumprod", np.sqrt(1.0 / acp - 1))
+        with np.errstate(divide="ignore"):  # acp -> 0 at beta=1 (test
+            # schedules): inf entries match the reference's table math
+            # (`gaussian_diffusion.py:133-170`); silence the warning noise
+            set_(self, "sqrt_recip_alphas_cumprod", np.sqrt(1.0 / acp))
+            set_(self, "sqrt_recipm1_alphas_cumprod",
+                 np.sqrt(1.0 / acp - 1))
         post_var = betas * (1.0 - self.alphas_cumprod_prev) / (1.0 - acp)
         set_(self, "posterior_variance", post_var)
         set_(self, "posterior_log_variance_clipped",

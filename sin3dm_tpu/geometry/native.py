@@ -83,6 +83,11 @@ def lib() -> ctypes.CDLL:
     L.geo_rasterize_uv.argtypes = [c_float_p, ctypes.c_int, c_int_p,
                                    c_float_p, c_int_p, ctypes.c_int,
                                    ctypes.c_int, c_float_p, c_ubyte_p]
+    L.geo_rasterize_uv_runs.argtypes = [c_float_p, ctypes.c_int, c_int_p,
+                                        c_float_p, c_int_p, ctypes.c_int,
+                                        ctypes.c_int, c_ubyte_p,
+                                        ctypes.POINTER(c_float_p)]
+    L.geo_rasterize_uv_runs.restype = ctypes.c_longlong
     L.geo_mask_compact_q16.argtypes = [
         c_float_p, c_ubyte_p, ctypes.c_longlong, c_float_p, c_float_p,
         ctypes.POINTER(ctypes.c_ushort)]
@@ -299,6 +304,36 @@ def rasterize_uv(uvs: np.ndarray, tri_uv: np.ndarray, verts: np.ndarray,
         v.ctypes.data_as(c_float_p), tpv.ctypes.data_as(c_int_p), nt, res,
         pos.ctypes.data_as(c_float_p), mask.ctypes.data_as(c_ubyte_p))
     return pos, mask.astype(bool)
+
+
+def rasterize_uv_runs(uvs: np.ndarray, tri_uv: np.ndarray, verts: np.ndarray,
+                      tri_pos: np.ndarray, res: int):
+    """Rasterize in UV space -> coverage mask + per-row position SPANS.
+
+    Same coverage as :func:`rasterize_uv`, but positions come back as
+    runs [R, 7] float32 (start xyz, per-column step xyz, length), sorted
+    and trimmed so expanding them in order reproduces the row-major
+    masked texel stream exactly (the order `geo_tex_assemble` consumes).
+    This is the texture bake's compact host->device wire: ~28 B per run
+    instead of 6 B per texel (training/ae.py `_dispatch_texels_runs`).
+
+    Returns (mask [res,res] bool, runs [R,7] float32).
+    """
+    u = _f32(uvs).reshape(-1, 2)
+    tu = _i32(tri_uv).reshape(-1)
+    v = _f32(verts).reshape(-1)
+    tpv = _i32(tri_pos).reshape(-1)
+    nt = len(tu) // 3
+    mask = np.zeros((res, res), np.uint8)
+    out_runs = c_float_p()
+    n = lib().geo_rasterize_uv_runs(
+        u.ctypes.data_as(c_float_p), len(u), tu.ctypes.data_as(c_int_p),
+        v.ctypes.data_as(c_float_p), tpv.ctypes.data_as(c_int_p), nt, res,
+        mask.ctypes.data_as(c_ubyte_p), ctypes.byref(out_runs))
+    if n < 0:
+        raise MemoryError("geo_rasterize_uv_runs allocation failed")
+    runs = _take_floats(out_runs, int(n) * 7).reshape(-1, 7)
+    return mask.astype(bool), runs
 
 
 def mask_compact_q16(pos: np.ndarray, mask: np.ndarray, lo: np.ndarray,

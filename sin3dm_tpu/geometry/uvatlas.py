@@ -643,3 +643,24 @@ def uv_unwrap_and_rasterize(v: np.ndarray, f: np.ndarray, resolution: int):
         uvs.astype(np.float32), tex_idx.astype(np.int32),
         v.astype(np.float32), f.astype(np.int32), resolution)
     return uvs, tex_idx, gb_pos, mask
+
+
+def uv_unwrap_and_rasterize_runs(v: np.ndarray, f: np.ndarray,
+                                 resolution: int):
+    """`uv_unwrap_and_rasterize` with the RUN-LENGTH position wire: no
+    dense [R,R,3] position image is ever built — texel positions come
+    back as per-row spans for on-device expansion (the texture bake's
+    compact host->device wire, `training/ae.py _dispatch_texels_runs`).
+
+    Returns (uvs, mesh_tex_idx, mask [R,R], runs [n,7] float32)."""
+    from . import native
+    uvs, tex_idx = parametrize(v, f, padding=max(2.0 / resolution, 5e-4))
+    mask, runs = native.rasterize_uv_runs(
+        uvs.astype(np.float32), tex_idx.astype(np.int32),
+        v.astype(np.float32), f.astype(np.int32), resolution)
+    n_tex = int(mask.sum())
+    n_runs = int(runs[:, 6].sum()) if len(runs) else 0
+    assert n_runs == n_tex, (
+        f"texel-run stream ({n_runs}) disagrees with the coverage mask "
+        f"({n_tex}) — rasterizer invariant broken")
+    return uvs, tex_idx, mask, runs

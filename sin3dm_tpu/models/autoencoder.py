@@ -466,6 +466,33 @@ def decode_texels_q16(params: Dict, cfg: AEConfig, tex_planes: Triplane,
                                      fused_heads)
 
 
+def decode_texels_runs(params: Dict, cfg: AEConfig, tex_planes: Triplane,
+                       offsets: jax.Array, starts: jax.Array,
+                       steps: jax.Array, i0: jax.Array, aabb: jax.Array,
+                       batch: int, fused_heads: bool = False) -> jax.Array:
+    """`decode_texels` over the RUN-LENGTH texel wire: positions are
+    affine along each rasterized UV row (`geometry.cpp
+    geo_rasterize_uv_runs`), so the host ships (start, step, length)
+    spans (~28 B/run vs 6 B/texel) and the device expands them here —
+    cheap MXU-adjacent arithmetic replacing host->device transfer, AND
+    fp32-exact positions (no u16 quantization).
+
+    offsets: [Rp+1] int32 cumulative texel counts (monotone; padded
+    entries repeat the total), starts/steps: [Rp, 3] f32 (zero-padded),
+    i0: scalar int32 — this chunk covers global texel indices
+    [i0, i0 + batch).  Indices beyond the real texel count decode
+    garbage rows that the host trims (same contract as the padded q16
+    chunks)."""
+    i = i0 + jnp.arange(batch, dtype=jnp.int32)
+    j = jnp.searchsorted(offsets, i, side="right") - 1
+    j = jnp.clip(j, 0, starts.shape[0] - 1)
+    o = (i - offsets[j]).astype(jnp.float32)
+    pos = starts[j] + steps[j] * o[:, None]
+    x = normalize_points(pos, aabb)
+    return _decode_texels_normalized(params, cfg, tex_planes, x,
+                                     fused_heads)
+
+
 def _decode_texels_normalized(params: Dict, cfg: AEConfig,
                               tex_planes: Triplane, x: jax.Array,
                               fused_heads: bool) -> jax.Array:

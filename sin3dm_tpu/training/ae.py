@@ -46,10 +46,13 @@ class AETrainerConfig:
     # fuse K iterations per dispatch (lax.scan) — amortizes host launch
     # latency; the dataset is device-resident so nothing needs the host
     steps_per_call: int = 1
-    # texture-bake point wire format: "u16" (AABB-relative uint16, half
-    # the host->device upload; <=1-LSB texel flips vs fp32) or "f32"
-    # (bit-exact).  SIN3DM_TEXEL_WIRE env var overrides when set.
-    texel_wire: str = "u16"
+    # texture-bake point wire format (SIN3DM_TEXEL_WIRE env overrides):
+    #   "runs" (default): per-row position spans expanded ON DEVICE
+    #       (geometry.cpp geo_rasterize_uv_runs) — ~28 B/run vs
+    #       6 B/texel host->device, positions fp32-exact,
+    #   "u16": AABB-relative uint16 points (<=1-LSB texel flips vs fp32),
+    #   "f32": dense fp32 points (bit-exact legacy wire).
+    texel_wire: str = "runs"
 
 
 class AEData(NamedTuple):
@@ -65,6 +68,13 @@ class AEData(NamedTuple):
     pts_on_surf: Optional[jax.Array]
     tex_on_surf: Optional[jax.Array]
     aabb: jax.Array              # [6]
+
+
+class TexelRuns(NamedTuple):
+    """Run-length texel wire payload (`geometry/native.py
+    rasterize_uv_runs`): [n, 7] float32 rows of (start xyz, step xyz,
+    length), sorted/trimmed to row-major masked order."""
+    runs: np.ndarray
 
 
 SHUFFLE_SEED = 12345
@@ -957,16 +967,75 @@ class AETrainer:
                 pass  # backends without async host copies still work
         return out, quant, sparse
 
-    def _dispatch_texels(self, feat: Triplane, points: np.ndarray, aabb,
+    def _dispatch_texels_runs(self, feat: Triplane, runs: np.ndarray,
+                              aabb, batch_size: int = 2 ** 20):
+        """Dispatch the uint8 texel decode over the RUN-LENGTH wire
+        (`geometry/native.py rasterize_uv_runs`): ship (start, step,
+        length) spans, expand texel positions on device
+        (`models/autoencoder.py decode_texels_runs`).  At production
+        atlas density this is ~1-3 B/texel host->device vs the u16
+        wire's 6, and the positions are fp32-exact."""
+        self._ensure_decode_jits()
+        aabb_d = jnp.asarray(np.asarray(aabb, np.float32).reshape(-1))
+        lens = runs[:, 6].astype(np.int64) if len(runs) else np.zeros(0,
+                                                                      np.int64)
+        N = int(lens.sum())
+        # pow2-bucketed shapes: few distinct compiles, and small bakes
+        # (low texreso) don't pay for a padded 2^20-point decode
+        batch_size = min(batch_size,
+                         1 << max(12, max(N - 1, 1).bit_length()))
+        R = max(len(runs), 1)
+        Rp = 1 << max(10, (R - 1).bit_length())
+        offsets = np.full(Rp + 1, N, np.int32)
+        offsets[0] = 0
+        offsets[1:len(lens) + 1] = np.cumsum(lens, dtype=np.int64)
+        starts = np.zeros((Rp, 3), np.float32)
+        steps = np.zeros((Rp, 3), np.float32)
+        starts[:len(runs)] = runs[:, 0:3]
+        steps[:len(runs)] = runs[:, 3:6]
+
+        fn = self._jit_grid_dense.get("texels_runs")
+        if fn is None:
+            fused = self._fused_heads()
+
+            def fn(p, tp, off, st, sp, i0, ab, batch):
+                return ae.decode_texels_runs(p, self.acfg, tp, off, st, sp,
+                                             i0, ab, batch,
+                                             fused_heads=fused)
+
+            fn = jax.jit(fn, static_argnums=(7,))
+            self._jit_grid_dense["texels_runs"] = fn
+
+        chunks = []
+        with self._tpu_lock:
+            _, tex_planes = self._jit_process(self.params, feat)
+            off_d = jnp.asarray(offsets)
+            st_d = jnp.asarray(starts)
+            sp_d = jnp.asarray(steps)
+            for i in range(0, max(N, 1), batch_size):
+                out = fn(self.params, tex_planes, off_d, st_d, sp_d,
+                         jnp.asarray(i, jnp.int32), aabb_d, batch_size)
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                chunks.append(out)
+        return chunks, N
+
+    def _dispatch_texels(self, feat: Triplane, points, aabb,
                          batch_size: int = 2 ** 20):
         """Dispatch the uint8 texel decode; returns (chunk device arrays,
         N) without blocking on the results.
 
-        Positions ship as uint16 AABB-relative coordinates by default
-        (half the fp32 wire — the texel stage is host->device transfer
-        bound on high-RTT links; quantization error is 1/65535 of the
-        AABB).  Config field `AETrainerConfig.texel_wire="f32"` or env
+        `points` is either a TexelRuns payload (default wire — see
+        `_dispatch_texels_runs`) or an [N, 3] point array.  Point arrays
+        ship as uint16 AABB-relative coordinates by default (half the
+        fp32 wire — the texel stage is host->device transfer bound on
+        high-RTT links; quantization error is 1/65535 of the AABB);
         `SIN3DM_TEXEL_WIRE=f32` restores the exact fp32 wire."""
+        if isinstance(points, TexelRuns):
+            return self._dispatch_texels_runs(feat, points.runs, aabb,
+                                              batch_size)
         self._ensure_decode_jits()
         aabb_np = np.asarray(aabb, np.float32).reshape(-1)
         aabb = jnp.asarray(aabb_np)
@@ -1083,24 +1152,34 @@ class AETrainer:
                 os.path.join(save_dir, f"surf_pc_n{n_surf_pc}.obj"),
                 surf_pts, np.clip(preds[..., 1:4], 0, 1))
 
-        uvs, tex_idx, gb_pos, mask = uvatlas.uv_unwrap_and_rasterize(
-            v, f, texture_reso)
-        t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels)", t0)
-
         wire = os.environ.get("SIN3DM_TEXEL_WIRE", self.tcfg.texel_wire)
-        if wire != "f32":
-            # fused C++ compaction + q16 quantization (one pass over the
-            # 2048^2 position buffer; the numpy gather + quantize cost
-            # ~0.6 s per bake on the shared host core).  Bit-identical to
-            # the numpy expression in _dispatch_texels, which recognizes
-            # the uint16 dtype and ships it as-is.
-            from ..geometry import native
-            lo = np.asarray(new_aabb[:3], np.float32)
-            span = np.asarray(new_aabb[3:], np.float32) - lo
-            texels = native.mask_compact_q16(
-                gb_pos.reshape(-1, 3), mask.reshape(-1), lo, span)
+        if wire == "runs":
+            # run-length wire: no dense [R,R,3] position image on the
+            # host at all — the rasterizer emits per-row spans and the
+            # device expands them (decode_texels_runs)
+            uvs, tex_idx, mask, runs = uvatlas.uv_unwrap_and_rasterize_runs(
+                v, f, texture_reso)
+            t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels, "
+                      f"{len(runs)} runs)", t0)
+            texels = TexelRuns(runs)
         else:
-            texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
+            uvs, tex_idx, gb_pos, mask = uvatlas.uv_unwrap_and_rasterize(
+                v, f, texture_reso)
+            t0 = tick(f"uv atlas + raster ({int(mask.sum())} texels)", t0)
+            if wire != "f32":
+                # fused C++ compaction + q16 quantization (one pass over
+                # the 2048^2 position buffer; the numpy gather + quantize
+                # cost ~0.6 s per bake on the shared host core).
+                # Bit-identical to the numpy expression in
+                # _dispatch_texels, which recognizes the uint16 dtype and
+                # ships it as-is.
+                from ..geometry import native
+                lo = np.asarray(new_aabb[:3], np.float32)
+                span = np.asarray(new_aabb[3:], np.float32) - lo
+                texels = native.mask_compact_q16(
+                    gb_pos.reshape(-1, 3), mask.reshape(-1), lo, span)
+            else:
+                texels = gb_pos.reshape(-1, 3)[mask.reshape(-1)]
         return {"v": v, "f": f, "uvs": uvs, "tex_idx": tex_idx,
                 "mask": mask, "texels": texels}
 
