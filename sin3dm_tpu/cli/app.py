@@ -1,15 +1,22 @@
-"""Gradio web demo over pretrained checkpoints — counterpart of the
-reference `src/app.py:25-148`: pick a checkpoint dir, draw N samples
-(DDPM or DDIM), decode to GLB, and display them.
+"""Web demo over pretrained checkpoints — counterpart of the reference
+`src/app.py:25-148`: pick a checkpoint dir, draw N samples (DDPM or
+DDIM), decode to GLB, and display/serve them.
 
-Gradio is an optional dependency (not baked into the TPU image); the CLI
-exits with a clear message when it is missing.
+Two server backends:
+
+* gradio (when installed): the reference's UI, Model3D viewers included,
+* stdlib `http.server` fallback (`--http`, or automatic when gradio is
+  absent — it is not baked into the TPU image): the same checkpoint
+  dropdown + sliders served as a plain HTML form, generated GLBs
+  downloadable over HTTP.  Zero dependencies, so the demo is actually
+  drivable in this container (exercised by tests/test_e2e.py).
 """
 
 from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import types
 
@@ -48,19 +55,143 @@ def generate(tag: str, n_samples: int, seed: int, reso: int, n_faces: int,
     return [os.path.join(os.path.dirname(p), "object.glb") for p in paths]
 
 
+_PAGE = """<!doctype html><html><head><title>Sin3DM-TPU</title>
+<style>body{{font-family:sans-serif;max-width:42em;margin:2em auto}}
+label{{display:block;margin:.4em 0}}input,select{{margin-left:.5em}}
+.glb a{{display:block;margin:.3em 0}}</style></head><body>
+<h1>Sin3DM on TPU — single-shape 3D diffusion</h1>
+<p>Generation takes a few seconds per batch on one TPU chip once
+compiled.  Results appear as downloadable GLB links below.</p>
+<form method="post" action="/generate">
+<label>checkpoint <select name="tag">{options}</select></label>
+<label>samples <input type="number" name="n_samples" value="4" min="1"
+ max="4"></label>
+<label>seed <input type="number" name="seed" value="0"></label>
+<label>DDIM-100 <input type="checkbox" name="use_ddim"></label>
+<label>marching cubes resolution <input type="number" name="reso"
+ value="256" min="32" max="512"></label>
+<label>faces <input type="number" name="n_faces" value="10000"></label>
+<label>texture resolution <input type="number" name="texreso"
+ value="2048"></label>
+<label>resize x/y/z <input name="resize_x" value="1.0" size="4">
+<input name="resize_y" value="1.0" size="4">
+<input name="resize_z" value="1.0" size="4"></label>
+<button type="submit">Generate</button></form>
+<div class="glb">{results}</div></body></html>"""
+
+
+def build_http_server(checkpoints_root: str = "checkpoints",
+                      host: str = "127.0.0.1", port: int = 0):
+    """Dependency-free demo server (`http.server`).
+
+    Routes: GET / (form), POST /generate (runs :func:`generate`; accepts
+    form or JSON bodies; JSON requests get a JSON list of GLB URLs back),
+    GET /glb/<i> (download the i-th GLB of the last generation).
+    Returns a ThreadingHTTPServer; call .serve_forever() (or drive it
+    from a thread in tests).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet CI logs
+            pass
+
+        def _page(self, results=""):
+            opts = "".join(f'<option value="{c}">{c}</option>'
+                           for c in list_checkpoints(checkpoints_root))
+            body = _PAGE.format(options=opts, results=results).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/glb/"):
+                try:
+                    idx = int(self.path.split("/")[2])
+                    path = self.server.last_glbs[idx]
+                    with open(path, "rb") as f:
+                        data = f.read()
+                except (IndexError, ValueError, OSError):
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "model/gltf-binary")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            self._page()
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n).decode()
+            ctype = self.headers.get("Content-Type", "")
+            if "json" in ctype:
+                q = {k: [v] for k, v in json.loads(raw or "{}").items()}
+            else:
+                q = parse_qs(raw)
+            g = lambda k, d: q.get(k, [d])[0]
+            try:
+                paths = generate(
+                    g("tag", ""), int(g("n_samples", 1)),
+                    int(g("seed", 0)), int(g("reso", 256)),
+                    int(g("n_faces", 10000)), int(g("texreso", 2048)),
+                    float(g("resize_x", 1.0)), float(g("resize_y", 1.0)),
+                    float(g("resize_z", 1.0)),
+                    str(g("use_ddim", "")).lower() in ("on", "true", "1"))
+            except Exception as e:  # surface errors to the client
+                self.send_error(500, str(e)[:200])
+                return
+            self.server.last_glbs = [p for p in paths if os.path.exists(p)]
+            urls = [f"/glb/{i}" for i in range(len(self.server.last_glbs))]
+            if "json" in ctype:
+                body = json.dumps({"glbs": urls}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                links = "".join(
+                    f'<a href="{u}">sample {i} (GLB)</a>'
+                    for i, u in enumerate(urls)) or "no samples decoded"
+                self._page(results=links)
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.last_glbs = []
+    return srv
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoints", type=str, default="checkpoints")
     parser.add_argument("--share", action="store_true")
+    parser.add_argument("--http", action="store_true",
+                        help="serve the stdlib HTTP UI even if gradio "
+                             "is installed")
+    parser.add_argument("--port", type=int, default=7860)
     args = parser.parse_args(argv)
 
     try:
+        if args.http:
+            raise ImportError
         import gradio as gr
     except ImportError:
-        raise SystemExit(
-            "gradio is not installed in this environment. The app CLI "
-            "needs it: use `python -m sin3dm_tpu.cli.sample` for "
-            "programmatic sampling instead.")
+        srv = build_http_server(args.checkpoints, host="0.0.0.0",
+                                port=args.port)
+        if not args.http:
+            print("gradio is not installed — serving the stdlib HTTP UI "
+                  "instead")
+        print(f"serving on http://{srv.server_address[0]}:"
+              f"{srv.server_address[1]}")
+        srv.serve_forever()
+        return
 
     ckpts = list_checkpoints(args.checkpoints)
 
