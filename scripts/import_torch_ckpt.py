@@ -84,6 +84,71 @@ def _find_threshold(enc_args: dict, override) -> float:
     return thr
 
 
+def export_tag(src: str, dst: str) -> None:
+    """Reverse direction: OUR tag -> reference torch format, so a
+    checkpoint trained here loads in the reference codebase
+    (`load_state_dict(strict=True)` round trip tested in
+    tests/test_torch_import.py)."""
+    import numpy as np
+    import torch
+
+    from sin3dm_tpu.core import checkpoint as ckpt
+    from sin3dm_tpu.models.autoencoder import init_autoencoder
+    from sin3dm_tpu.models.unet import init_unet
+    import jax
+
+    enc_src = os.path.join(src, "encoding")
+    diff_src = os.path.join(src, "diffusion")
+    with open(os.path.join(enc_src, "args.json")) as f:
+        enc_args = json.load(f)
+    with open(os.path.join(diff_src, "args.json")) as f:
+        diff_args = json.load(f)
+    acfg = _ae_config(enc_args)
+    ucfg = _unet_config(diff_args, acfg)
+
+    enc_dst = os.path.join(dst, "encoding")
+    diff_dst = os.path.join(dst, "diffusion")
+    os.makedirs(enc_dst, exist_ok=True)
+    os.makedirs(diff_dst, exist_ok=True)
+
+    template = init_autoencoder(jax.random.PRNGKey(0), acfg)
+    src_pth = os.path.join(enc_src, "ckpt_final.pth")
+    if any(p.startswith("params/") for p in ckpt.peek_paths(src_pth)):
+        params, meta = ckpt.load_subtree(src_pth, template, "params")
+    else:
+        params, meta = ckpt.load_pytree(src_pth, template)
+    sd = ti.ae_state_dict_from_params(params, acfg,
+                                      aabb=meta.get("aabb"))
+    torch.save({
+        "net": {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()},
+        "optimizer": {}, "scheduler": {},  # torch-specific; not exported
+        "Ka": meta.get("Ka", [0, 0, 0]), "Kd": meta.get("Kd", [1, 1, 1]),
+        "Ks": meta.get("Ks", [0.4, 0.4, 0.4]), "Ns": meta.get("Ns", 10),
+        "aabb": meta.get("aabb", [-1, -1, -1, 1, 1, 1]),
+        "featmap_size": meta.get("featmap_size", []),
+    }, os.path.join(enc_dst, "ckpt_final.pth"))
+    print(f"exported {src_pth}")
+
+    utemplate = init_unet(jax.random.PRNGKey(0), ucfg)
+    for src_pt in sorted(glob.glob(os.path.join(diff_src, "ema_*.pt"))):
+        uparams, _ = ckpt.load_pytree(src_pt, utemplate)
+        usd = ti.unet_state_dict_from_params(uparams, ucfg)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in usd.items()},
+                   os.path.join(diff_dst, os.path.basename(src_pt)))
+        print(f"exported {src_pt}")
+
+    for sub_src, sub_dst, names in (
+            (enc_src, enc_dst, ("args.json", "feat.npz")),
+            (diff_src, diff_dst, ("args.json",))):
+        for name in names:
+            p = os.path.join(sub_src, name)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(sub_dst, name))
+    print(f"done: {dst} is a reference-format tag")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--src", required=True,
@@ -91,7 +156,14 @@ def main(argv=None) -> int:
     ap.add_argument("--dst", required=True, help="output tag dir")
     ap.add_argument("--threshold", type=float, default=None,
                     help="TSDF clamp when the dataset npz is unreachable")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export OUR tag at --src to reference torch "
+                         "format at --dst instead")
     args = ap.parse_args(argv)
+
+    if args.reverse:
+        export_tag(args.src, args.dst)
+        return 0
 
     enc_src = os.path.join(args.src, "encoding")
     diff_src = os.path.join(args.src, "diffusion")

@@ -143,3 +143,20 @@ def test_sample_from_reference_checkpoint(tmp_path, monkeypatch):
     b = np.load(os.path.join(conv, "results_conv", "000", "feat.npz"))
     for k in ("feat_xy", "feat_xz", "feat_yz"):
         np.testing.assert_array_equal(a[k], b[k])
+
+    # 3) round-trip the other way: export OUR tag back to reference torch
+    #    format (--reverse) and sample from THAT — still bit-identical
+    exported = str(tmp_path / "exported_tag")
+    import_torch_ckpt.main(["--src", conv, "--dst", exported, "--reverse"])
+    assert ti.is_torch_file(
+        os.path.join(exported, "diffusion", "ema_0.9999_000100.pt"))
+    assert ti.is_torch_file(
+        os.path.join(exported, "encoding", "ckpt_final.pth"))
+    sample_cli.main([
+        "--tag", exported, "--n_samples", "1", "--use_ddim", "true",
+        "--timestep_respacing", "ddim5", "--reso", "24", "--vox",
+        "--output", "results_exported"])
+    c = np.load(os.path.join(exported, "results_exported", "000",
+                             "feat.npz"))
+    for k in ("feat_xy", "feat_xz", "feat_yz"):
+        np.testing.assert_array_equal(a[k], c[k])
