@@ -356,8 +356,9 @@ def _utilization_report(sampler, chunk, channels, sizes, steps,
                         model_channels=64, channel_mult=(1, 2)):
     """Measured per-step device time + analytic FLOPs utilization for the
     reverse chain (VERDICT r3 missing #4)."""
-    import jax.random as jrandom
-    key = jrandom.PRNGKey(42)
+    from sin3dm_tpu.diffusion.sampling import (sample_index_keys,
+                                               sample_seed_key)
+    key = sample_index_keys(sample_seed_key(42), 0, chunk)
     t0 = time.perf_counter()
     out = sampler(key, chunk, channels, sizes)
     jax.block_until_ready(out)
@@ -423,8 +424,11 @@ def main():
 
     # ---- warmup / compile (excluded, like cuDNN autotune amortization)
     from sin3dm_tpu.core.triplane import Triplane
+    from sin3dm_tpu.diffusion.sampling import (sample_index_keys,
+                                               sample_seed_key)
     t0 = time.perf_counter()
-    out = sampler(jax.random.PRNGKey(1), chunk, channels, sizes)
+    out = sampler(sample_index_keys(sample_seed_key(1), 0, chunk),
+                  chunk, channels, sizes)
     jax.block_until_ready(out)
     sampler_warmup_s = time.perf_counter() - t0
     log(f"sampler compile+warmup: {sampler_warmup_s:.1f}s")
@@ -515,10 +519,11 @@ def main():
             n_chunks = (batch + chunk - 1) // chunk
 
             def sample_chunk(ci):
-                # fold_in twice: pass/chunk keys never collide regardless
-                # of n_chunks (a fixed stride would alias past 16 chunks)
-                k = jax.random.fold_in(jax.random.PRNGKey(2), p)
-                return sampler(jax.random.fold_in(k, ci),
+                # per-sample index keys rooted at a pass-folded seed key
+                # (the production cli.sample key schema, incl. the TPU
+                # 'rbg' PRNG default — see sampling.sample_seed_key)
+                k = jax.random.fold_in(sample_seed_key(2), p)
+                return sampler(sample_index_keys(k, ci * chunk, chunk),
                                chunk, channels, sizes)
 
             def prepare_chunk(ci, samples):

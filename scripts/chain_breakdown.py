@@ -82,13 +82,6 @@ def main():
 
     model = lambda p, x, t: unet_apply(p, ucfg, x, t)
 
-    # the shipped chain
-    def full_body(p, x, t, step_noise):
-        tb = jnp.full((1,), t, dtype=jnp.int32)
-        return p_sample_step(lambda xx, tt: model(p, xx, tt), tables, dcfg,
-                             x, tb, None, clip_denoised=True,
-                             noise=step_noise(x, t))
-
     # UNet forward only (decay keeps the carry finite over 1000 steps)
     def model_body(p, x, t, step_noise):
         tb = jnp.full((1,), t, dtype=jnp.int32)
@@ -106,7 +99,21 @@ def main():
         n = step_noise(x, t)
         return x.map(lambda v: v * 0.999) + n.map(lambda v: v * 1e-3)
 
-    full_s = timed("full", chain(full_body), params, keys)
+    # the shipped chain: the PRODUCTION make_jit_sampler program (hits the
+    # persistent compile cache warmed by bench.py, instead of recompiling
+    # a near-copy — full-chain scan compiles take minutes via the tunnel)
+    from sin3dm_tpu.diffusion.sampling import make_jit_sampler
+    sampler = make_jit_sampler(model, tables, dcfg, params=params)
+    full_s = timed("full",
+                   lambda k: sampler(k, 1, C, SIZES), keys)
+
+    # small programs first: each compile is cheap, and if the remote
+    # compile service stalls we still get a partial table
+    sampler_s = timed("sampler_only", chain(sampler_body), params, keys)
+    noise_s = timed("noise_only", chain(noise_body), params, keys)
+    rbg_keys = jax.random.split(jax.random.key(7, impl="rbg"), 1)
+    timed("noise_rbg", chain(noise_body), params, rbg_keys)
+
     model_s = timed("model_only", chain(model_body), params, keys)
     ucfg_xla = ucfg._replace(fused_conv=False)
     model_x = lambda p, x, t: unet_apply(p, ucfg_xla, x, t)
@@ -128,12 +135,6 @@ def main():
             lambda v: v * 0.5)
 
     timed("model_fp32", chain(model_f32_body), params, keys)
-    sampler_s = timed("sampler_only", chain(sampler_body), params, keys)
-    noise_s = timed("noise_only", chain(noise_body), params, keys)
-
-    rbg_keys = jax.random.split(
-        jax.random.key(7, impl="rbg"), 1)
-    timed("noise_rbg", chain(noise_body), params, rbg_keys)
 
     resid = full_s - model_s - (sampler_s - noise_s) - noise_s
     print(f"\nfull = model + sampler-math + noise + residual:"

@@ -173,8 +173,8 @@ def sample_diffusion(args):
     result_dir = os.path.join(args.tag, args.output)
     os.makedirs(result_dir, exist_ok=True)
 
-    from ..diffusion.sampling import sample_index_keys
-    seed_key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+    from ..diffusion.sampling import sample_index_keys, sample_seed_key
+    seed_key = sample_seed_key(int(getattr(args, "seed", 0)))
     # chain cost is linear in batch: clamp to what is actually needed
     batch_size = max(1, min(args.diff_batch_size, args.n_samples))
     result_paths = []
@@ -270,7 +270,7 @@ def generate(args):
     between this fused path and the standalone sample_diffusion()+decode()
     stages.
     """
-    from ..diffusion.sampling import sample_index_keys
+    from ..diffusion.sampling import sample_index_keys, sample_seed_key
 
     sampler, C, sizes = _build_sampler(args)
     trainer = _make_trainer(args)
@@ -278,7 +278,7 @@ def generate(args):
 
     result_dir = os.path.join(args.tag, args.output)
     os.makedirs(result_dir, exist_ok=True)
-    seed_key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+    seed_key = sample_seed_key(int(getattr(args, "seed", 0)))
 
     # small chunks pipeline best: the CPU geometry per sample (~2.5-3.5 s)
     # exceeds a batch-1 chain (~1.6 s), so the device always stays ahead

@@ -229,6 +229,42 @@ def group_norm32_film_coeffs(p, x, film=None, num_groups: int = 32,
     return A, B
 
 
+def group_norm32_coeffs_from_sums(p, stats, n_hw: int, film=None,
+                                  num_groups: int = 32,
+                                  eps: float = 1e-5):
+    """`group_norm32_film_coeffs` computed from PRE-REDUCED per-channel
+    (sum, sumsq) statistics instead of re-reading the activation.
+
+    `stats`: [B, 2, C] fp32 — per-channel sum and sum-of-squares over the
+    n_hw spatial positions, as emitted by the fused conv's stats epilogue
+    (`ops/fused_conv.py emit_stats`).  Group statistics aggregate the
+    per-channel sums, so mean/var match `group_norm32`'s fp32 reduces up
+    to summation order.  Returns (A, B) each [B, C] for
+    `silu(x*A + B)` / the fused conv's `act=`.
+    """
+    B_, two, C = stats.shape
+    g = num_groups
+    if C % g != 0:
+        raise ValueError(f"GroupNorm32 needs channels divisible by {g}, "
+                         f"got {C}")
+    n = float(n_hw * (C // g))
+    s1 = stats[:, 0].reshape(B_, g, C // g).sum(-1)   # [B, g]
+    s2 = stats[:, 1].reshape(B_, g, C // g).sum(-1)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    rstd = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    mean_c = jnp.repeat(mean, C // g, axis=-1)        # [B, C]
+    rstd_c = jnp.repeat(rstd, C // g, axis=-1)
+    A = rstd_c * p["g"]
+    B = p["b"] - mean_c * A
+    if film is not None:
+        scale, shift = film                            # [B,1,1,C]
+        one_p = 1.0 + scale.astype(jnp.float32).reshape(B_, C)
+        A = A * one_p
+        B = B * one_p + shift.astype(jnp.float32).reshape(B_, C)
+    return A, B
+
+
 def apply_film_coeffs(x, A, B):
     """`silu(x*A + B)` with the apply in x.dtype — the reference
     elementwise form of `group_norm32_film_coeffs` (used by the XLA

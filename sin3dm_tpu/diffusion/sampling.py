@@ -22,6 +22,26 @@ from .gaussian import (DiffusionConfig, ModelFn, ddim_sample_step,
                        p_sample_step)
 
 
+def sample_seed_key(seed: int) -> jax.Array:
+    """Root sampling key, honoring `SIN3DM_SAMPLE_PRNG`.
+
+    On TPU the default PRNG impl is 'rbg' (hardware-backed counter PRNG):
+    the chain draws fresh noise every step, and threefry2x32 generation
+    measures 0.158 ms/step standalone vs rbg's 0.075 at towerruins scale
+    (artifacts/chain_breakdown_r5.txt) — pure VPU work that competes with
+    the UNet.  rbg is deterministic per key, so seed-stability and
+    chunking-invariance are unchanged; the drawn bits differ from the
+    threefry stream (statistically equivalent noise).
+    `SIN3DM_SAMPLE_PRNG=threefry2x32` restores the old stream; CPU keeps
+    threefry so committed test goldens are stable.
+    """
+    import os
+    impl = os.environ.get("SIN3DM_SAMPLE_PRNG")
+    if impl is None:
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return jax.random.key(seed, impl=impl)
+
+
 def sample_index_keys(seed_key: jax.Array, start: int,
                       batch: int) -> jax.Array:
     """Per-sample keys derived from GLOBAL sample indices.

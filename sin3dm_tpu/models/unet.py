@@ -205,7 +205,9 @@ def _act_triplane(t: Triplane, act: Dict) -> Triplane:
 def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
                               fused: bool = False,
                               spatial_mesh=None,
-                              act: Dict = None) -> Triplane:
+                              act: Dict = None,
+                              skip: Triplane = None,
+                              emit_stats: bool = False):
     """Rollout conv without materializing the 3x-channel concat.
 
     The rollout channels are axis-means BROADCAST along one spatial axis
@@ -230,7 +232,8 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
     m_xy_h = jnp.mean(ta.xy, axis=-3)   # [B, W, C]
     m_xz_h = jnp.mean(ta.xz, axis=-3)   # [B, D, C]
 
-    def one(pp, x_raw, x_act, act_k, col_vec, row_vec, col_first: bool):
+    def one(pp, x_raw, x_act, act_k, col_vec, row_vec, col_first: bool,
+            skip_k=None):
         w = pp["w"]
         col_slot, row_slot = (1, 2) if col_first else (2, 1)
         if fused:
@@ -241,7 +244,8 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
                                 w[:, :, row_slot * C:(row_slot + 1) * C])
             return conv3x3_rollout_fused(
                 x_raw, w[:, :, :C], pp.get("b"), col3, row3,
-                mxu_dtype=x_raw.dtype, act=act_k)
+                mxu_dtype=x_raw.dtype, act=act_k, skip=skip_k,
+                emit_stats=emit_stats)
         if spatial_mesh is not None:
             from ..parallel.halo import halo_conv2d
             y = halo_conv2d({"w": w[:, :, :C]}, x_act, spatial_mesh)
@@ -262,9 +266,16 @@ def _tconv_apply_rollout_fast(p: Dict, t: Triplane,
     #   xy: [self, col-varying (m_yz_d), row-varying (m_xz_d)]
     #   xz: [self, row-varying (m_xy_w), col-varying (m_yz_w)]
     #   yz: [self, row-varying (m_xy_h), col-varying (m_xz_h)]
-    xy = one(p["xy"], t.xy, ta.xy, ak("xy"), m_yz_d, m_xz_d, col_first=True)
-    xz = one(p["xz"], t.xz, ta.xz, ak("xz"), m_yz_w, m_xy_w, col_first=False)
-    yz = one(p["yz"], t.yz, ta.yz, ak("yz"), m_xz_h, m_xy_h, col_first=False)
+    sk = lambda k: getattr(skip, k) if skip is not None else None
+    xy = one(p["xy"], t.xy, ta.xy, ak("xy"), m_yz_d, m_xz_d,
+             col_first=True, skip_k=sk("xy"))
+    xz = one(p["xz"], t.xz, ta.xz, ak("xz"), m_yz_w, m_xy_w,
+             col_first=False, skip_k=sk("xz"))
+    yz = one(p["yz"], t.yz, ta.yz, ak("yz"), m_xz_h, m_xy_h,
+             col_first=False, skip_k=sk("yz"))
+    if emit_stats:
+        (xy, s_xy), (xz, s_xz), (yz, s_yz) = xy, xz, yz
+        return Triplane(xy, xz, yz), {"xy": s_xy, "xz": s_xz, "yz": s_yz}
     return Triplane(xy, xz, yz)
 
 
@@ -374,6 +385,80 @@ def _use_fused_act() -> bool:
     where the balance differs (larger planes / higher batch)."""
     import os
     return os.environ.get("SIN3DM_FUSED_ACT", "0") == "1"
+
+
+def _use_stats_chain() -> bool:
+    """GroupNorm-statistics chaining through the fused convs' epilogues
+    (inference only): each conv emits per-channel (sum, sumsq) of its
+    output, so the NEXT norm's coefficients come from [2, C]-sized math
+    instead of an XLA re-read of the full activation, and the skip-add
+    fuses into the out conv.
+
+    OFF by default: the r5 device profile attributed ~146 us of the
+    0.80 ms chain step to the GN stat reduces, but the chained kernel
+    must stage its input through a whole-plane VMEM scratch (the act
+    apply + stats need it), and that stage is a dependency barrier that
+    loses MORE to broken cross-kernel prefetch overlap than the reduces
+    cost — measured 0.833 vs 0.802 ms/step on the v5e chain.  Kept
+    golden-tested behind SIN3DM_STATS_CHAIN=1 for shapes where the
+    balance differs (larger planes amortize the stage; higher batch
+    hides it)."""
+    import os
+    return os.environ.get("SIN3DM_STATS_CHAIN", "0") == "1"
+
+
+def _tnorm_coeffs_from_stats(pn: Dict, stats: Dict, sizes, film=None
+                             ) -> Dict:
+    """Per-plane folded GN32[+FiLM]+SiLU coefficients from chained
+    (sum, sumsq) statistics (`nn.group_norm32_coeffs_from_sums`)."""
+    H, W, D = sizes
+    n_hw = {"xy": H * W, "xz": H * D, "yz": W * D}
+    return {k: nn.group_norm32_coeffs_from_sums(pn[k], stats[k], n_hw[k],
+                                                film=film)
+            for k in ("xy", "xz", "yz")}
+
+
+def _stats_block_ok(p: Dict, t: Triplane, rollout: bool) -> bool:
+    """Preconditions for the stats-chained resblock: 3x3 rollout convs on
+    the fast path, input channels within the fused kernel's single-call
+    budget (the channel-split wide path cannot emit output stats)."""
+    return (rollout and p["in_conv"]["xy"]["w"].shape[0] == 3
+            and min(t.sizes) >= 2 and t.channels <= 128)
+
+
+def _resblock_apply_stats(p: Dict, t: Triplane, t_stats, emb: jax.Array,
+                          use_scale_shift: bool):
+    """Inference resblock on the fused conv path with (a) GroupNorm
+    statistics CHAINED from conv epilogues, (b) norm+FiLM+SiLU applied
+    in-kernel during halo staging, and (c) the residual skip-add fused
+    into the out conv.  Returns (out, out_stats) — out_stats feeds the
+    next block's in_norm (or the final out norm).
+
+    Numerics match `_resblock_apply(fast_norm=True)` up to summation
+    order: statistics accumulate in fp32 from the UNROUNDED fp32 conv
+    outputs (the XLA path reduces the bf16-rounded tensor), and the skip
+    add happens in fp32 before the bf16 cast.
+    """
+    a1 = (_tnorm_coeffs_from_stats(p["in_norm"], t_stats, t.sizes)
+          if t_stats is not None else _tnorm_coeffs(p["in_norm"], t))
+    h, h_stats = _tconv_apply_rollout_fast(p["in_conv"], t, fused=True,
+                                           act=a1, emit_stats=True)
+
+    emb_out = nn.linear(p["emb"], nn.silu(emb))
+    emb_out = emb_out[:, None, None, :]  # [B,1,1,C or 2C] fp32
+    if use_scale_shift:
+        film = tuple(jnp.split(emb_out, 2, axis=-1))
+        a2 = _tnorm_coeffs_from_stats(p["out_norm"], h_stats, h.sizes,
+                                      film=film)
+    else:
+        # the emb add lands between conv and norm — stats no longer
+        # describe the normed tensor; fall back to the XLA reduce
+        h = h.map(lambda v: v + emb_out.astype(v.dtype))
+        a2 = _tnorm_coeffs(p["out_norm"], h)
+
+    skip = _tconv_apply(p["skip"], t, rollout=False) if "skip" in p else t
+    return _tconv_apply_rollout_fast(p["out_conv"], h, fused=True, act=a2,
+                                     skip=skip, emit_stats=True)
 
 
 def _resblock_apply(p: Dict, t: Triplane, emb: jax.Array,
@@ -540,6 +625,16 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
     h = constrain(h)
     h = _tconv_apply(params["in_conv"], h, rollout=False)
 
+    # stats-chained fused inference: conv epilogues feed the next norm's
+    # statistics; the (sum, sumsq) pair rides alongside h and invalidates
+    # wherever the tensor is transformed outside a chained conv
+    # (down/up-sampling, skip concat)
+    use_stats = (cfg.fused_conv and mesh is None
+                 and not cfg.use_checkpoint
+                 and jnp.dtype(cfg.compute_dtype).itemsize <= 2
+                 and not _use_fused_act() and _use_stats_chain())
+    h_stats = None
+
     def run_block(p, t, e):
         fn = lambda pp, tt, ee: _resblock_apply(
             pp, tt, ee, cfg.use_scale_shift_norm, cfg.rollout,
@@ -549,12 +644,19 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
             fn = jax.checkpoint(fn)
         return fn(p, t, e)
 
+    def run_block_maybe_stats(p, t, t_stats, e):
+        if use_stats and _stats_block_ok(p, t, cfg.rollout):
+            return _resblock_apply_stats(p, t, t_stats, e,
+                                         cfg.use_scale_shift_norm)
+        return run_block(p, t, e), None
+
     hs = []
     for level, blocks in enumerate(params["down"]):
         if level != 0:
             h = constrain(_tdown2x(h))
+            h_stats = None
         for bp in blocks:
-            h = run_block(bp, h, emb)
+            h, h_stats = run_block_maybe_stats(bp, h, h_stats, emb)
         hs.append(h)
 
     n_levels = len(params["up"])
@@ -568,12 +670,18 @@ def unet_apply(params: Dict, cfg: UNetConfig, x: Triplane,
                 jnp.concatenate([h.xy, skip.xy], axis=-1),
                 jnp.concatenate([h.xz, skip.xz], axis=-1),
                 jnp.concatenate([h.yz, skip.yz], axis=-1))
+            h_stats = None
         for bp in blocks:
-            h = run_block(bp, h, emb)
+            h, h_stats = run_block_maybe_stats(bp, h, h_stats, emb)
         if level < n_levels - 1:
             h = constrain(_tup2x(h))
+            h_stats = None
 
-    if cfg.fused_conv or cfg.fast_norm:
+    if h_stats is not None:
+        h = _act_triplane(
+            h, _tnorm_coeffs_from_stats(params["out"]["norm"], h_stats,
+                                        h.sizes))
+    elif cfg.fused_conv or cfg.fast_norm:
         h = _tnorm_silu_fast(params["out"]["norm"], h)
     else:
         h = _tnorm_apply(params["out"]["norm"], h)

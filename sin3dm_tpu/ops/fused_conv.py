@@ -45,43 +45,74 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(TH: int, W: int, H: int, C: int, Co: int, has_rollout: bool,
-            has_act: bool, out_dtype, x_ref, w_ref, b_ref, *refs):
+            has_act: bool, has_skip: bool, emit_stats: bool, staged: bool,
+            out_dtype, *refs):
+    # arg order: ins (x, w, b, [actA, actB], [rollout x6], [skip]),
+    #            outs (y, [stats]), scratch ([halo], [skip-pad], im)
     refs = list(refs)
+    x_ref, w_ref, b_ref = refs[:3]
+    idx = 3
     a_ref = b2_ref = None
     if has_act:
-        a_ref, b2_ref = refs[0], refs[1]
-        refs = refs[2:]
-    if has_rollout:  # kernel args: ins..., outs..., scratch...
-        st_ref, sf_ref, sb_ref, rl_ref, rf_ref, rr_ref = refs[:6]
-        refs = refs[6:]
-    out_ref = refs[0]
-    im_ref = refs[-1]
-    xp_ref = refs[1] if has_act else x_ref  # halo scratch only with act
+        a_ref, b2_ref = refs[idx:idx + 2]
+        idx += 2
+    if has_rollout:
+        st_ref, sf_ref, sb_ref, rl_ref, rf_ref, rr_ref = refs[idx:idx + 6]
+        idx += 6
+    if has_skip:
+        sk_ref = refs[idx]
+        idx += 1
+    out_ref = refs[idx]
+    idx += 1
+    if emit_stats:
+        stats_ref = refs[idx]
+        idx += 1
+    if staged:
+        xp_ref = refs[idx]  # zero-halo staging scratch
+        idx += 1
+    else:
+        xp_ref = None  # x_ref IS the pre-padded plane (fast default)
+    if has_skip:
+        sp_ref = refs[idx]  # tile-padded skip scratch
+        idx += 1
+    im_ref = refs[idx]
     i = pl.program_id(1)
     WP = im_ref.shape[0] // TH
 
-    if has_act:
-        # stage silu(x*A+B) into the halo scratch ONCE per plane (the
-        # scratch persists across the row-tile grid axis, which is the
-        # fastest).  fp32 apply in row chunks: Mosaic rejects mixed
-        # f32-scalar/bf16-vector broadcasts inside sigmoid, and a
-        # whole-plane fp32 temp would blow the scoped-VMEM stack.
+    # With epilogue features (act/skip/stats) x ships unpadded and is
+    # staged into a zero-halo scratch at the first row tile.  WITHOUT
+    # them, x arrives pre-padded from XLA and the kernel reads it
+    # directly: the whole-plane stage is a dependency barrier (every
+    # im2col read waits on it), and measured on the chain it LOSES more
+    # to broken cross-kernel prefetch overlap than the XLA-side pad op
+    # costs (0.833 vs 0.802 ms/step) — so the unstaged layout stays the
+    # default.  With `act`, silu(x*A+B) applies during the stage: fp32
+    # apply in row chunks — Mosaic rejects mixed f32-scalar/bf16-vector
+    # broadcasts inside sigmoid, and a whole-plane fp32 temp would blow
+    # scoped VMEM.
+    if staged:
         @pl.when(i == 0)
         def _stage():
             xp_ref[:] = jnp.zeros(xp_ref.shape, xp_ref.dtype)
-            CH = 16
-            for r0 in range(0, H, CH):
-                rr = min(CH, H - r0)
-                xv = x_ref[0, pl.ds(r0 + 1, rr), 1:W + 1, :]
-                xa = xv.astype(jnp.float32) * a_ref[0] + b2_ref[0]
-                xa = xa * jax.nn.sigmoid(xa)
-                xp_ref[pl.ds(r0 + 1, rr), 1:W + 1, :] = (
-                    xa.astype(xp_ref.dtype))
+            if has_act:
+                CH = 16
+                for r0 in range(0, H, CH):
+                    rr = min(CH, H - r0)
+                    xv = x_ref[0, pl.ds(r0, rr), :, :]
+                    xa = xv.astype(jnp.float32) * a_ref[0] + b2_ref[0]
+                    xa = xa * jax.nn.sigmoid(xa)
+                    xp_ref[pl.ds(r0 + 1, rr), 1:W + 1, :] = (
+                        xa.astype(xp_ref.dtype))
+            else:
+                xp_ref[1:H + 1, 1:W + 1, :] = x_ref[0].astype(xp_ref.dtype)
+            if has_skip:
+                sp_ref[:] = jnp.zeros(sp_ref.shape, sp_ref.dtype)
+                sp_ref[:H, :W, :] = sk_ref[0]
 
     # im2col: 9 shifted [TH, WP, C] windows -> [TH*WP, 9C]
     for dh in range(3):
         for dw in range(3):
-            if has_act:
+            if staged:
                 win = xp_ref[pl.ds(i * TH + dh, TH), dw:dw + WP, :]
             else:
                 win = x_ref[0, pl.ds(i * TH + dh, TH), dw:dw + WP, :]
@@ -111,7 +142,32 @@ def _kernel(TH: int, W: int, H: int, C: int, Co: int, has_rollout: bool,
                           jnp.where(c == W - 1, r_right[:, None],
                                     r_full[:, None]))
 
+    if has_skip:
+        # residual add in-kernel: the resblock output never round-trips
+        # HBM between the conv and the skip sum
+        y = y + sp_ref[pl.ds(i * TH, TH), :, :].astype(jnp.float32)
+
     out_ref[0] = y.astype(out_dtype)
+
+    if emit_stats:
+        # per-channel (sum, sumsq) of the VALID region — feeds the NEXT
+        # GroupNorm32 without re-reading the activation from HBM
+        # (`core/nn.py group_norm32_coeffs_from_sums`).  Computed from
+        # the WRITTEN output tile: (a) statistics then match the XLA
+        # path's fp32 reduce of the rounded output exactly, (b) masking/
+        # reducing the MXU dot value directly sent Mosaic's layout
+        # assignment into a 200-300 s compile — re-reading the stored
+        # tile breaks that dependence.  Per-TILE partials, each tile its
+        # own output block (a revisited accumulator block was equally
+        # pathological); a trivial XLA reduce sums the [n_tiles, 2, Co].
+        g = i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, 1, 1), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (1, WP, 1), 1)
+        valid = (g < H) & (c2 < W)
+        yv = out_ref[0].astype(jnp.float32)
+        ym = jnp.where(valid, yv, 0.0)
+        s1 = jnp.sum(jnp.sum(ym, axis=0), axis=0, keepdims=True)
+        s2 = jnp.sum(jnp.sum(ym * ym, axis=0), axis=0, keepdims=True)
+        stats_ref[0, 0] = jnp.concatenate([s1, s2], axis=0)  # [2, Co]
 
 
 def _on_cpu() -> bool:
@@ -124,8 +180,11 @@ def conv3x3_rollout_fused(
         row3: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
         tile_h: Optional[int] = None, interpret: Optional[bool] = None,
         mxu_dtype=jnp.bfloat16,
-        act: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
-    """y = conv3x3_SAME(act(x)) + b + colvar + rowvar, one pallas program.
+        act: Optional[Tuple[jax.Array, jax.Array]] = None,
+        skip: Optional[jax.Array] = None,
+        emit_stats: bool = False):
+    """y = conv3x3_SAME(act(x)) + b + colvar + rowvar [+ skip], one
+    pallas program, optionally emitting y's GroupNorm feed-stats.
 
     x: [B, H, W, C]; w: [3, 3, C, Co]; b: [Co] or None.
     col3: (s_top, s_full, s_bot) each [B, W, Co] — the rollout
@@ -135,8 +194,16 @@ def conv3x3_rollout_fused(
       [B, C] fp32; the kernel computes silu(x*A + B) (fp32 apply) while
       staging x (a folded GroupNorm32 [+ FiLM] + SiLU).  col3/row3 must
       then be computed from the ACTIVATED plane means by the caller.
-    Returns [B, H, W, Co] in x.dtype.  interpret defaults to True on the
-    CPU backend (tests).
+    skip: optional [B, H, W, Co] residual added to y in-kernel (the
+      resblock skip sum — the block output never round-trips HBM).
+    emit_stats: also return per-channel fp32 (sum, sumsq) [B, 2, Co] of
+      the final y over the valid H x W region — the NEXT GroupNorm32's
+      statistics without an XLA re-read of the activation
+      (`core/nn.py group_norm32_coeffs_from_sums`).  Not supported on
+      the channel-split wide-input path (partial convs sum outside the
+      kernel); callers fall back to the XLA reduce there.
+    Returns [B, H, W, Co] in x.dtype (plus stats when emit_stats).
+    interpret defaults to True on the CPU backend (tests).
     """
     if interpret is None:
         interpret = _on_cpu()
@@ -144,6 +211,7 @@ def conv3x3_rollout_fused(
     Co = w.shape[-1]
     has_rollout = col3 is not None
     has_act = act is not None
+    has_skip = skip is not None
 
     # Wide inputs (the up-path skip-concat conv, C=192) would blow the
     # 16MB VMEM scoped limit (the im2col scratch is 9C wide).  By conv
@@ -156,6 +224,11 @@ def conv3x3_rollout_fused(
     elem = jnp.dtype(mxu_dtype).itemsize
     c_max = 128 if elem <= 2 else 64
     if C > c_max:
+        if emit_stats:
+            raise ValueError("emit_stats is unsupported on the "
+                             "channel-split wide-input path (C "
+                             f"{C} > {c_max}); fall back to XLA stats")
+
         def act_slice(lo, hi):
             if act is None:
                 return None
@@ -163,7 +236,7 @@ def conv3x3_rollout_fused(
         y = conv3x3_rollout_fused(
             x[..., :c_max], w[:, :, :c_max], b, col3, row3,
             tile_h=tile_h, interpret=interpret, mxu_dtype=mxu_dtype,
-            act=act_slice(0, c_max))
+            act=act_slice(0, c_max), skip=skip)
         for lo in range(c_max, C, c_max):
             hi = min(lo + c_max, C)
             y = y + conv3x3_rollout_fused(
@@ -183,16 +256,22 @@ def conv3x3_rollout_fused(
     WP = _round_up(W, 16)
     n_tiles = HP // TH
 
+    # Epilogue features need the staging scratch (act applies during the
+    # stage; skip/stats piggyback on it); the plain conv keeps the
+    # pre-padded operand — see the staging tradeoff note in _kernel.
+    staged = has_act or has_skip or emit_stats
     xd = x.astype(mxu_dtype)
-    # zero 'SAME' halo + tile padding; the pad fuses into x's producer
-    xp = jnp.pad(xd, ((0, 0), (1, HP + 1 - H), (1, WP + 1 - W), (0, 0)))
+    if not staged:
+        # zero 'SAME' halo + tile padding on the XLA side
+        xd = jnp.pad(xd, ((0, 0), (1, HP + 1 - H), (1, WP + 1 - W), (0, 0)))
     wflat = w.reshape(9 * C, Co).astype(mxu_dtype)
     bb = (b if b is not None else jnp.zeros((Co,), x.dtype))
     bb = bb.reshape(1, Co).astype(jnp.float32)
 
-    operands = [xp, wflat, bb]
+    operands = [xd, wflat, bb]
     in_specs = [
-        pl.BlockSpec((1, HP + 2, WP + 2, C), lambda bi, i: (bi, 0, 0, 0),
+        pl.BlockSpec((1, H, W, C) if staged else (1, HP + 2, WP + 2, C),
+                     lambda bi, i: (bi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((9 * C, Co), lambda bi, i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -220,22 +299,39 @@ def conv3x3_rollout_fused(
             in_specs.append(pl.BlockSpec(
                 (1, HP, Co), lambda bi, i: (bi, 0, 0),
                 memory_space=pltpu.VMEM))
+    if has_skip:
+        operands.append(skip.astype(mxu_dtype))
+        in_specs.append(pl.BlockSpec((1, H, W, Co),
+                                     lambda bi, i: (bi, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((1, TH, WP, Co), lambda bi, i: (bi, i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, HP, WP, Co), x.dtype)]
+    if emit_stats:
+        out_specs.append(pl.BlockSpec((1, 1, 2, Co),
+                                      lambda bi, i: (bi, i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((B, n_tiles, 2, Co),
+                                               jnp.float32))
 
     scratch = []
-    if has_act:
+    if staged:
         scratch.append(pltpu.VMEM((HP + 2, WP + 2, C), mxu_dtype))
+    if has_skip:
+        scratch.append(pltpu.VMEM((HP, WP, Co), mxu_dtype))
     scratch.append(pltpu.VMEM((TH * WP, 9 * C), mxu_dtype))
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel, TH, W, H, C, Co, has_rollout, has_act,
-                          x.dtype),
+                          has_skip, emit_stats, staged, x.dtype),
         grid=(B, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, TH, WP, Co),
-                               lambda bi, i: (bi, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, HP, WP, Co), x.dtype),
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
-    return out[:, :H, :W, :]
+    if emit_stats:
+        return outs[0][:, :H, :W, :], outs[1].sum(axis=1)
+    return outs[:, :H, :W, :]

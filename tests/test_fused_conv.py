@@ -10,6 +10,7 @@ import pytest
 from sin3dm_tpu.core import nn
 from sin3dm_tpu.core.triplane import Triplane
 from sin3dm_tpu.models import unet as U
+from sin3dm_tpu.models.unet import UNetConfig, init_unet, unet_apply
 from sin3dm_tpu.ops.fused_conv import conv3x3_rollout_fused
 
 
@@ -108,3 +109,101 @@ def test_rollout_tconv_act_parity():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_skip_and_stats_epilogue():
+    """In-kernel residual add + (sum, sumsq) stats == XLA skip add +
+    fp32 reduces, and the stats feed coefficients matching the direct
+    GroupNorm32 fold."""
+    B, H, W = 2, 13, 20
+    C, Co = 32, 32
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    x = jax.random.normal(keys[0], (B, H, W, C))
+    w = jax.random.normal(keys[1], (3, 3, C, Co)) * 0.1
+    b = jax.random.normal(keys[2], (Co,)) * 0.1
+    skip = jax.random.normal(keys[3], (B, H, W, Co))
+
+    ref = conv3x3_rollout_fused(x, w, b, tile_h=4,
+                                mxu_dtype=jnp.float32) + skip
+    out, stats = conv3x3_rollout_fused(x, w, b, tile_h=4,
+                                       mxu_dtype=jnp.float32, skip=skip,
+                                       emit_stats=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    want_s1 = jnp.sum(ref.astype(jnp.float32), axis=(1, 2))
+    want_s2 = jnp.sum(ref.astype(jnp.float32) ** 2, axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(stats[:, 0]), np.asarray(want_s1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats[:, 1]), np.asarray(want_s2),
+                               rtol=1e-4, atol=1e-4)
+
+    # stats -> GN32 coefficients == the direct reduce-based fold
+    gp = nn.group_norm_init(Co)
+    A_ref, B_ref = nn.group_norm32_film_coeffs(gp, ref)
+    A_got, B_got = nn.group_norm32_coeffs_from_sums(gp, stats, H * W)
+    np.testing.assert_allclose(np.asarray(A_got), np.asarray(A_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(B_got), np.asarray(B_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stats_with_rollout_and_act():
+    """emit_stats composes with the rollout epilogue and act staging."""
+    H, W, D = 12, 20, 8
+    C, Co = 32, 32
+    keys = jax.random.split(jax.random.PRNGKey(12), 4)
+    t = Triplane(jax.random.normal(keys[0], (1, H, W, C)),
+                 jax.random.normal(keys[1], (1, H, D, C)),
+                 jax.random.normal(keys[2], (1, W, D, C)))
+    p = U._tconv_init(keys[3], C, Co, 3, rollout=True)
+    np_ = U._tnorm_init(C)
+    act = U._tnorm_coeffs(np_, t)
+    ta = U._act_triplane(t, act)
+    ref = U._tconv_apply(p, ta, rollout=True, fused=False)
+
+    from sin3dm_tpu.models.unet import _colvar_vecs, _rowvar_vecs
+    ww = p["xy"]["w"]
+    m_col = jnp.mean(ta.yz, axis=-2)
+    m_row = jnp.mean(ta.xz, axis=-2)
+    col3 = _colvar_vecs(m_col, ww[:, :, C:2 * C])
+    row3 = _rowvar_vecs(m_row, ww[:, :, 2 * C:])
+    out, stats = conv3x3_rollout_fused(
+        t.xy, ww[:, :, :C], p["xy"].get("b"), col3, row3, tile_h=4,
+        mxu_dtype=jnp.float32, act=act["xy"], emit_stats=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref.xy),
+                               rtol=2e-5, atol=2e-5)
+    want = jnp.sum(ref.xy.astype(jnp.float32), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(stats[:, 0]), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_unet_stats_chain_parity(monkeypatch):
+    """The stats-chained fused inference path (default) matches the
+    unchained fused path (SIN3DM_STATS_CHAIN=0) in bfloat16: chained
+    GroupNorm statistics + in-kernel act staging + fused skip add are
+    numerically equivalent up to bf16 rounding."""
+    cfg = UNetConfig(model_channels=32, fused_conv=True, fast_norm=True,
+                     compute_dtype=jnp.bfloat16)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # randomize the zero-init out convs so the output is nontrivial
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.05 * jax.random.normal(k, jnp.shape(l))
+        for l, k in zip(leaves, keys)])
+    x = Triplane(jax.random.normal(jax.random.PRNGKey(2), (1, 12, 16, 12)),
+                 jax.random.normal(jax.random.PRNGKey(3), (1, 12, 8, 12)),
+                 jax.random.normal(jax.random.PRNGKey(4), (1, 16, 8, 12)))
+    ts = jnp.asarray([321], jnp.int32)
+
+    monkeypatch.setenv("SIN3DM_STATS_CHAIN", "0")
+    ref = unet_apply(params, cfg, x, ts)
+    monkeypatch.setenv("SIN3DM_STATS_CHAIN", "1")
+    got = unet_apply(params, cfg, x, ts)
+    for name, r, o in zip(("xy", "xz", "yz"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            rtol=0.05, atol=0.05, err_msg=f"plane {name}")
+        # bf16-scale agreement on average, not just max
+        assert np.mean(np.abs(np.asarray(o, np.float32)
+                              - np.asarray(r, np.float32))) < 5e-3
