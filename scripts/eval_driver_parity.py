@@ -84,6 +84,9 @@ def main(argv=None):
 
     from sin3dm_tpu.evaluation import parity
 
+    # absolute paths: run_reference chdirs for the hardcoded weights name
+    args.src = os.path.abspath(args.src)
+    args.ref = os.path.abspath(args.ref)
     gen_vox_paths = sorted(glob.glob(os.path.join(args.src, "*",
                                                   "*voxel.npz")))
     ref_npz = sorted([p for p in glob.glob(os.path.join(args.ref, "*.npz"))

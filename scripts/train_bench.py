@@ -9,8 +9,11 @@ steps_per_call fusion.  Compare against the reference's single-GPU
 25k-iteration budgets (SURVEY.md §6).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

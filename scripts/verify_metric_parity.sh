@@ -25,6 +25,23 @@ for f in "$CLS" "$INC" "$ALEX" "$LPIPS"; do
     [ -f "$f" ] || { echo "missing $f — run scripts/fetch_eval_weights.sh" >&2; exit 1; }
 done
 
+echo "== stage 0: full-DRIVER parity, synthetic weights (always runs) =="
+# the reference's own torch SSFID/LP/Div driver vs our eval_full on the
+# committed 16-sample voxel set — asserts metric-level agreement
+# (artifacts/eval_driver_parity.json); regenerate the sample set with
+#   python -m sin3dm_tpu.cli.sample --tag checkpoints/towerruins \
+#       --n_samples 16 --vox --reso 256 --output results_parity
+# and the dataset npz with sin3dm_tpu.dataio.mesh_sampler on
+# /root/reference/data/towerruins/mesh/model.obj (reso 256).
+if [ -d "$PROJ_DIR/checkpoints/towerruins/results_parity" ] \
+        && [ -f "$PROJ_DIR/data/towerruins/towerruins.npz" ]; then
+    python "$PROJ_DIR/scripts/eval_driver_parity.py" \
+        -s "$PROJ_DIR/checkpoints/towerruins/results_parity" \
+        -r "$PROJ_DIR/data/towerruins"
+else
+    echo "  (skipped: sample set or dataset npz missing)"
+fi
+
 echo "== stage 1: full-scale network parity (real weights) =="
 python "$PROJ_DIR/scripts/eval_parity.py" --full \
     --clsshapenet "$CLS" --inception "$INC" \
