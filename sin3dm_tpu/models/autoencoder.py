@@ -469,7 +469,8 @@ def decode_texels_q16(params: Dict, cfg: AEConfig, tex_planes: Triplane,
 def decode_texels_runs(params: Dict, cfg: AEConfig, tex_planes: Triplane,
                        offsets: jax.Array, starts: jax.Array,
                        steps: jax.Array, i0: jax.Array, aabb: jax.Array,
-                       batch: int, fused_heads: bool = False) -> jax.Array:
+                       batch: int, fused_heads: bool = False,
+                       quantized: bool = False) -> jax.Array:
     """`decode_texels` over the RUN-LENGTH texel wire: positions are
     affine along each rasterized UV row (`geometry.cpp
     geo_rasterize_uv_runs`), so the host ships (start, step, length)
@@ -478,17 +479,28 @@ def decode_texels_runs(params: Dict, cfg: AEConfig, tex_planes: Triplane,
     fp32-exact positions (no u16 quantization).
 
     offsets: [Rp+1] int32 cumulative texel counts (monotone; padded
-    entries repeat the total), starts/steps: [Rp, 3] f32 (zero-padded),
+    entries repeat the total), starts/steps: [Rp, 3] (zero-padded),
     i0: scalar int32 — this chunk covers global texel indices
     [i0, i0 + batch).  Indices beyond the real texel count decode
     garbage rows that the host trims (same contract as the padded q16
-    chunks)."""
+    chunks).
+
+    `quantized` (the compact wire, 16 B/run vs 28): starts are uint16
+    AABB-relative (the u16 point wire's accepted snap, 1/65535 of the
+    AABB — but only at run STARTS) and steps are float16 in NORMALIZED
+    units (within-run drift <= run_span * 2^-11, ~0.1 voxel only for
+    runs spanning the whole plane; typical runs are 10-20 texels).
+    """
     i = i0 + jnp.arange(batch, dtype=jnp.int32)
     j = jnp.searchsorted(offsets, i, side="right") - 1
     j = jnp.clip(j, 0, starts.shape[0] - 1)
     o = (i - offsets[j]).astype(jnp.float32)
-    pos = starts[j] + steps[j] * o[:, None]
-    x = normalize_points(pos, aabb)
+    if quantized:
+        x = (starts[j].astype(jnp.float32) * (2.0 / 65535.0) - 1.0
+             + steps[j].astype(jnp.float32) * o[:, None])
+    else:
+        pos = starts[j] + steps[j] * o[:, None]
+        x = normalize_points(pos, aabb)
     return _decode_texels_normalized(params, cfg, tex_planes, x,
                                      fused_heads)
 

@@ -48,8 +48,9 @@ class AETrainerConfig:
     steps_per_call: int = 1
     # texture-bake point wire format (SIN3DM_TEXEL_WIRE env overrides):
     #   "runs" (default): per-row position spans expanded ON DEVICE
-    #       (geometry.cpp geo_rasterize_uv_runs) — ~28 B/run vs
-    #       6 B/texel host->device, positions fp32-exact,
+    #       (geometry.cpp geo_rasterize_uv_runs), compact pack — u16
+    #       starts + f16 normalized steps, 16 B/run (~1.5 B/texel),
+    #   "runs32": same spans shipped fp32 (28 B/run, positions exact),
     #   "u16": AABB-relative uint16 points (<=1-LSB texel flips vs fp32),
     #   "f32": dense fp32 points (bit-exact legacy wire).
     texel_wire: str = "runs"
@@ -972,11 +973,18 @@ class AETrainer:
         """Dispatch the uint8 texel decode over the RUN-LENGTH wire
         (`geometry/native.py rasterize_uv_runs`): ship (start, step,
         length) spans, expand texel positions on device
-        (`models/autoencoder.py decode_texels_runs`).  At production
-        atlas density this is ~1-3 B/texel host->device vs the u16
-        wire's 6, and the positions are fp32-exact."""
+        (`models/autoencoder.py decode_texels_runs`).
+
+        Default wire is the COMPACT pack — u16 AABB-relative starts +
+        f16 normalized steps + i32 offsets, 16 B/run (~1.5 B/texel at
+        production atlas density vs the u16 point wire's 6) — precision
+        at-or-above the old u16 default (only run STARTS carry the q16
+        snap).  `SIN3DM_TEXEL_WIRE=runs32` ships fp32 spans (exact)."""
         self._ensure_decode_jits()
-        aabb_d = jnp.asarray(np.asarray(aabb, np.float32).reshape(-1))
+        aabb_np = np.asarray(aabb, np.float32).reshape(-1)
+        aabb_d = jnp.asarray(aabb_np)
+        wire = os.environ.get("SIN3DM_TEXEL_WIRE", self.tcfg.texel_wire)
+        quantized = wire != "runs32"
         lens = runs[:, 6].astype(np.int64) if len(runs) else np.zeros(0,
                                                                       np.int64)
         N = int(lens.sum())
@@ -989,22 +997,34 @@ class AETrainer:
         offsets = np.full(Rp + 1, N, np.int32)
         offsets[0] = 0
         offsets[1:len(lens) + 1] = np.cumsum(lens, dtype=np.int64)
-        starts = np.zeros((Rp, 3), np.float32)
-        steps = np.zeros((Rp, 3), np.float32)
-        starts[:len(runs)] = runs[:, 0:3]
-        steps[:len(runs)] = runs[:, 3:6]
+        if quantized:
+            lo, span = aabb_np[:3], aabb_np[3:] - aabb_np[:3]
+            starts = np.zeros((Rp, 3), np.uint16)
+            steps = np.zeros((Rp, 3), np.float16)
+            starts[:len(runs)] = np.clip(
+                np.rint((runs[:, 0:3] - lo) / span * 65535.0),
+                0.0, 65535.0).astype(np.uint16)
+            steps[:len(runs)] = (runs[:, 3:6] * (2.0 / span)).astype(
+                np.float16)
+        else:
+            starts = np.zeros((Rp, 3), np.float32)
+            steps = np.zeros((Rp, 3), np.float32)
+            starts[:len(runs)] = runs[:, 0:3]
+            steps[:len(runs)] = runs[:, 3:6]
 
-        fn = self._jit_grid_dense.get("texels_runs")
+        key = "texels_runs_q" if quantized else "texels_runs"
+        fn = self._jit_grid_dense.get(key)
         if fn is None:
             fused = self._fused_heads()
 
             def fn(p, tp, off, st, sp, i0, ab, batch):
                 return ae.decode_texels_runs(p, self.acfg, tp, off, st, sp,
                                              i0, ab, batch,
-                                             fused_heads=fused)
+                                             fused_heads=fused,
+                                             quantized=quantized)
 
             fn = jax.jit(fn, static_argnums=(7,))
-            self._jit_grid_dense["texels_runs"] = fn
+            self._jit_grid_dense[key] = fn
 
         chunks = []
         with self._tpu_lock:
@@ -1153,7 +1173,7 @@ class AETrainer:
                 surf_pts, np.clip(preds[..., 1:4], 0, 1))
 
         wire = os.environ.get("SIN3DM_TEXEL_WIRE", self.tcfg.texel_wire)
-        if wire == "runs":
+        if wire.startswith("runs"):
             # run-length wire: no dense [R,R,3] position image on the
             # host at all — the rasterizer emits per-row spans and the
             # device expands them (decode_texels_runs)

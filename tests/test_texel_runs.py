@@ -125,7 +125,7 @@ def test_decode_texmesh_runs_wire_end_to_end(tmp_path, monkeypatch):
         return tr
 
     out = {}
-    for wire in ("runs", "f32"):
+    for wire in ("runs", "runs32", "f32"):
         d = tmp_path / wire
         tr = mk_trainer(d, wire)
         tr.decode_texmesh(str(d), feat, 32, n_faces=300, texture_reso=64,
@@ -134,5 +134,11 @@ def test_decode_texmesh_runs_wire_end_to_end(tmp_path, monkeypatch):
         assert png.exists()
         out[wire] = np.asarray(Image.open(png)).astype(np.int32)
 
-    diff = np.abs(out["runs"] - out["f32"])
-    assert diff.max() <= 1, f"texture LSB diff {diff.max()}"
+    # fp32 spans vs dense fp32 points: same math, <=1 LSB
+    diff = np.abs(out["runs32"] - out["f32"])
+    assert diff.max() <= 1, f"runs32 texture LSB diff {diff.max()}"
+    # compact pack (u16 starts + f16 steps): the u16-point wire's
+    # accepted snap applies at run starts only
+    diffq = np.abs(out["runs"] - out["f32"])
+    assert diffq.max() <= 3, f"compact runs texture diff {diffq.max()}"
+    assert (diffq > 1).mean() < 0.01
