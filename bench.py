@@ -418,9 +418,16 @@ def main():
     # pipeline chunk: chain time is linear in batch at these sizes
     # (measured 1.60/3.17/6.15 s for batch 1/2/4), so sampling in chunks
     # of 1 costs no device efficiency and overlaps chunk i+1's reverse
-    # chain with chunk i's CPU geometry — same schedule as cli.sample
-    chunk = max(1, min(batch,
-                       int(os.environ.get("SIN3DM_BENCH_CHUNK", "1"))))
+    # chain with chunk i's CPU geometry — same schedule as cli.sample.
+    # In DEGRADED tunnel windows, chunks of 2 measure better AND tighter
+    # (8.8s stable vs 9.2-12s at chunk 1 in the same window): half the
+    # dispatch/sync round-trips ride the congested link.  Without an
+    # explicit SIN3DM_BENCH_CHUNK the hunt is ADAPTIVE: quiet-window
+    # passes use chunk 1, and once the threshold is missed the passes
+    # alternate 2/1 and the best of either wins.
+    chunk_env = os.environ.get("SIN3DM_BENCH_CHUNK")
+    adaptive_chunk = chunk_env is None
+    chunk = max(1, min(batch, int(chunk_env or "1")))
 
     # ---- warmup / compile (excluded, like cuDNN autotune amortization)
     from sin3dm_tpu.core.triplane import Triplane
@@ -430,6 +437,12 @@ def main():
     out = sampler(sample_index_keys(sample_seed_key(1), 0, chunk),
                   chunk, channels, sizes)
     jax.block_until_ready(out)
+    if adaptive_chunk and batch >= 2:
+        # the adaptive hunt alternates chunk sizes — warm both programs
+        # so no measured pass pays a compile
+        out2 = sampler(sample_index_keys(sample_seed_key(1), 0, 2),
+                       2, channels, sizes)
+        jax.block_until_ready(out2)
     sampler_warmup_s = time.perf_counter() - t0
     log(f"sampler compile+warmup: {sampler_warmup_s:.1f}s")
     t0 = time.perf_counter()
@@ -505,6 +518,10 @@ def main():
                                   < budget_s)):
         if p > 0:
             time.sleep(min(15.0 * 1.3 ** max(0, p - min_passes), 45.0))
+        if adaptive_chunk:
+            chunk = (1 if p < min_passes
+                     else (2 if (p - min_passes) % 2 == 0 else 1))
+            chunk = min(chunk, batch)
 
         # Cross-chunk pipeline (same schedule as cli.sample.generate):
         # per chunk — block on its reverse chain, dispatch its dense SDF
@@ -550,16 +567,17 @@ def main():
                                        texture_reso=texreso,
                                        save_voxel=False)
         elapsed_pass = time.perf_counter() - t0
-        results.append((elapsed_pass, t_chains, elapsed_pass - t_chains))
+        results.append((elapsed_pass, t_chains, elapsed_pass - t_chains,
+                        chunk))
         log(f"pass {p + 1}/{max_passes}: total {elapsed_pass:.2f}s "
             f"(DDPM-{steps} x{batch} in chunks of {chunk}; "
             f"{t_chains:.2f}s blocked on chains, decode overlapped "
             f"[{reso}^3 grid + MC + {n_faces} faces + {texreso}^2 bake])")
         p += 1
 
-    elapsed, t_blocked, t_rest = min(results)
+    elapsed, t_blocked, t_rest, best_chunk = min(results)
     log(f"best of {p}: {elapsed:.2f}s ({t_blocked:.2f}s blocked on chains, "
-        f"{t_rest:.2f}s pipelined decode)")
+        f"{t_rest:.2f}s pipelined decode, chunk {best_chunk})")
     _store_best(elapsed)
 
     print(json.dumps({
@@ -569,6 +587,7 @@ def main():
         "vs_baseline": round(baseline_seconds / elapsed, 3),
         "chain_blocked_s": round(t_blocked, 3),
         "passes": p,
+        "pipeline_chunk": best_chunk,
         "texel_wire": os.environ.get("SIN3DM_TEXEL_WIRE",
                                      trainer.tcfg.texel_wire),
         "utilization": util,
