@@ -439,10 +439,16 @@ def main():
     jax.block_until_ready(out)
     if adaptive_chunk and batch >= 2:
         # the adaptive hunt alternates chunk sizes — warm both programs
-        # so no measured pass pays a compile
+        # so no measured pass pays a compile (incl. the tiny per-row
+        # slice programs prepare_chunk runs on a batch-2 chain result:
+        # even trivial eager ops compile remotely through the tunnel,
+        # and the first chunk-2 pass measured ~10s slower without this)
         out2 = sampler(sample_index_keys(sample_seed_key(1), 0, 2),
                        2, channels, sizes)
         jax.block_until_ready(out2)
+        for j in range(2):
+            jax.block_until_ready(
+                Triplane(out2.xy[j], out2.xz[j], out2.yz[j]))
     sampler_warmup_s = time.perf_counter() - t0
     log(f"sampler compile+warmup: {sampler_warmup_s:.1f}s")
     t0 = time.perf_counter()
@@ -519,8 +525,22 @@ def main():
         if p > 0:
             time.sleep(min(15.0 * 1.3 ** max(0, p - min_passes), 45.0))
         if adaptive_chunk:
-            chunk = (1 if p < min_passes
-                     else (2 if (p - min_passes) % 2 == 0 else 1))
+            # quiet-window passes use chunk 1; once the threshold is
+            # missed, sample each chunk size twice, then exploit the one
+            # with the better best (epsilon-free bandit — the window
+            # drifts slowly relative to a pass)
+            if p < min_passes:
+                chunk = 1
+            else:
+                by_chunk = {}
+                for r in results:
+                    by_chunk.setdefault(r[3], []).append(r[0])
+                if len(by_chunk.get(2, [])) < 2:
+                    chunk = 2
+                elif len(by_chunk.get(1, [])) < 2:
+                    chunk = 1
+                else:
+                    chunk = min(by_chunk, key=lambda c: min(by_chunk[c]))
             chunk = min(chunk, batch)
 
         # Cross-chunk pipeline (same schedule as cli.sample.generate):
