@@ -99,7 +99,7 @@ def _kernel(TH: int, W: int, H: int, C: int, Co: int, has_rollout: bool,
                 for r0 in range(0, H, CH):
                     rr = min(CH, H - r0)
                     xv = x_ref[0, pl.ds(r0, rr), :, :]
-                    xa = xv.astype(jnp.float32) * a_ref[0] + b2_ref[0]
+                    xa = xv.astype(jnp.float32) * a_ref[0, 0] + b2_ref[0, 0]
                     xa = xa * jax.nn.sigmoid(xa)
                     xp_ref[pl.ds(r0 + 1, rr), 1:W + 1, :] = (
                         xa.astype(xp_ref.dtype))
@@ -281,9 +281,13 @@ def conv3x3_rollout_fused(
     if has_act:
         A, Bc = act
         for v in (A, Bc):
-            operands.append(v.astype(jnp.float32))
+            # [B, 1, C] so the block's last two dims equal the array's
+            # (a (1, C) block over a [B, C] array violates the Mosaic
+            # (8, 128)-divisibility rule as soon as B > 1)
+            operands.append(v.reshape(B, 1, C).astype(jnp.float32))
             in_specs.append(pl.BlockSpec(
-                (1, C), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM))
+                (1, 1, C), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM))
     if has_rollout:
         s_top, s_full, s_bot = col3
         r_left, r_full, r_right = row3
